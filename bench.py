@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark entry point for the driver.
+
+Renders the BASELINE.json PR1 config (bucky-class 32^3 raw dense grid,
+256x256, 20 iterations) with the streaming wavefront scheduler and reports
+Mrays/s.  Baseline: the reference's best bucky number, regenerationSK
+(thread) at 10.96 Mrays/s on the GT 650M (BASELINE.md, thesis Table 6.3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    from cudavolumerenderer_tpu.config import Config, Kernel
+    from cudavolumerenderer_tpu.models.renderer import create_renderer
+    from cudavolumerenderer_tpu.ops.camera import make_camera
+    from cudavolumerenderer_tpu.scene import procedural
+    from cudavolumerenderer_tpu.scene.raw_builder import albedo_from_density
+    from cudavolumerenderer_tpu.scene.types import (
+        RenderSettings,
+        make_medium,
+        make_scene,
+    )
+
+    # bucky-class scene: 32^3 raw semantics (synthetic stand-in for the
+    # LFS-stubbed Bucky.raw), transfer-function albedo, scale 40.
+    density = procedural.blob_volume((32, 32, 32))
+    albedo = albedo_from_density(density)
+    medium = make_medium(density, albedo, scale=40.0, max_density=1.0)
+    scene = make_scene(medium)
+
+    res = 256
+    iterations = 20
+    camera = make_camera(res, res)
+    config = Config(
+        kernel=Kernel.STREAMING_SK,
+        iterations=iterations,
+        resolution=(res, res),
+        n_tiles=(1, 1),
+        n_lanes=1 << 17,
+        settings=RenderSettings.from_flags(True),
+    )
+    renderer = create_renderer(scene, camera, config)
+
+    # warmup (compile)
+    renderer.render()
+    # timed run
+    t0 = time.time()
+    renderer.render()
+    elapsed = time.time() - t0
+    mrays = renderer.n_rays / (elapsed * 1e6)
+
+    baseline_mrays = 10.96  # reference regenerationSK(thread), bucky 32^3
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s bucky32 256px 20it (streamingSK wavefront)",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / baseline_mrays, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

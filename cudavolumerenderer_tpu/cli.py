@@ -1,0 +1,195 @@
+"""Command-line entry point mirroring the reference's flags.
+
+Replaces Main.cpp + ConfigParser (reference: implementation/src/Main.cpp:133,
+implementation/src/ConfigParser.cpp:10-67): same flag names and defaults,
+with the batch "test" mode's trials/timing/Mrays protocol
+(Main.cpp:46-121).  The interactive GLFW mode becomes `--interactive`
+offline progressive rendering with periodic frame dumps.
+
+Usage:
+    python -m cudavolumerenderer_tpu.cli scene.xml -k regenerationSK -i 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .config import Algorithm, Config, Kernel, SceneType
+from .models.renderer import create_renderer
+from .scene.loader import load_scene
+from .utils.image import save_hdr, save_png, tonemap
+
+PRINT_PREFIX = "[cvr-tpu] "
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cudavolumerenderer_tpu",
+        description="TPU-native volumetric path tracer",
+    )
+    p.add_argument("scene_file", nargs="?", help="scene file to parse")
+    p.add_argument(
+        "--scene-type",
+        default="Auto",
+        choices=["Auto", "MitsubaXml", "Vdb", "Raw", "Mhd", "Npz"],
+    )
+    p.add_argument(
+        "--interactive",
+        type=lambda s: s.lower() in ("1", "true", "yes"),
+        default=False,
+        help="progressive mode with periodic frame dumps "
+        "(offline replacement for the GLFW view)",
+    )
+    p.add_argument("--trials", type=int, default=1)
+    p.add_argument("-a", "--algorithm", default="cudaVolPath")
+    p.add_argument("-k", "--kernel", default="regenerationSK")
+    p.add_argument(
+        "--number-of-tiles", type=int, nargs="+", default=[1, 1]
+    )
+    p.add_argument("-i", "--iterations", type=int, default=20)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument(
+        "-r", "--resolution", type=int, nargs="+", default=[1024, 1024]
+    )
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument(
+        "--n-lanes", type=int, default=1 << 17,
+        help="wavefront pool size for regeneration/streaming schedulers",
+    )
+    p.add_argument(
+        "--mitsuba-comparable",
+        type=lambda s: s.lower() in ("1", "true", "yes"),
+        default=True,
+    )
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force a JAX platform (the axon plugin ignores JAX_PLATFORMS)",
+    )
+    return p
+
+
+def config_from_args(args) -> Config:
+    from .scene.types import RenderSettings
+
+    tiles = args.number_of_tiles
+    if len(tiles) == 1:
+        tiles = [tiles[0], tiles[0]]
+    res = args.resolution
+    if len(res) == 1:
+        res = [res[0], res[0]]
+    config = Config(
+        scene_file=args.scene_file,
+        scene_type=SceneType[
+            {
+                "Auto": "AUTO", "MitsubaXml": "MITSUBA_XML", "Vdb": "VDB",
+                "Raw": "RAW", "Mhd": "MHD", "Npz": "NPZ",
+            }[args.scene_type]
+        ],
+        algorithm=Algorithm(args.algorithm),
+        kernel=Kernel.from_name(args.kernel),
+        iterations=args.iterations,
+        resolution=(res[0], res[1]),
+        n_tiles=(tiles[0], tiles[1]),
+        trials=args.trials,
+        interactive=args.interactive,
+        output_name=args.output,
+        seed=args.seed,
+        n_lanes=args.n_lanes,
+        settings=RenderSettings.from_flags(args.mitsuba_comparable),
+    )
+    if config.output_name is None:
+        config.output_name = config.to_string()
+    return config
+
+
+def run_test(config: Config) -> dict:
+    """Batch benchmark mode (reference: runTest, Main.cpp:46-121):
+    N trials, discard-first-trial mean/std, paths/s and Mrays/s."""
+    times: List[float] = []
+    rays: List[float] = []
+    result: dict = {}
+    for trial in range(config.trials):
+        print(f"{PRINT_PREFIX}--- trial {trial}")
+        t0 = time.time()
+        scene, camera = load_scene(config)
+        renderer = create_renderer(scene, camera, config)
+        t1 = time.time()
+        print(f"{PRINT_PREFIX}initialization time : {t1 - t0:.2f} sec")
+
+        t0 = time.time()
+        image = renderer.render()
+        t1 = time.time()
+        elapsed = t1 - t0
+        print(f"{PRINT_PREFIX}rendering time      : {elapsed:.2f} sec")
+        if trial > 0 or config.trials == 1:
+            times.append(elapsed)
+            rays.append(renderer.n_rays)
+
+        save_hdr(config.output_name + ".hdr", image)
+        save_png(config.output_name + ".png", tonemap(image))
+
+    mean_time = float(np.mean(times))
+    std_time = float(np.std(times))
+    n_paths = (
+        config.resolution[0] * config.resolution[1] * config.iterations
+    )
+    mrays = float(np.mean(rays)) / (mean_time * 1e6)
+    print(
+        f"{PRINT_PREFIX}execution mean time of {mean_time:.2f} sec on "
+        f"{len(times)} trials and std {std_time:.5f}"
+    )
+    print(f"{PRINT_PREFIX}paths per sec {n_paths / mean_time:.0f}")
+    print(f"{PRINT_PREFIX}millions of rays per sec {mrays:.3f}")
+    result.update(
+        mean_time=mean_time, std_time=std_time,
+        paths_per_sec=n_paths / mean_time, mrays_per_sec=mrays,
+    )
+    return result
+
+
+def run_interactive(config: Config) -> None:
+    """Offline progressive mode: refine and dump frames periodically
+    (replaces GLViewController's 0.1 s refinement budget loop,
+    InteractiveRenderer.h:319-349)."""
+    scene, camera = load_scene(config)
+    renderer = create_renderer(scene, camera, config)
+    frame = 0
+    while not renderer.image_complete():
+        renderer.run_iterations(spp=1)
+        if renderer.current_tile == 0:
+            frame += 1
+            save_png(
+                f"{config.output_name}_frame{frame:04d}.png",
+                tonemap(renderer.get_image()),
+            )
+            print(f"{PRINT_PREFIX}frame {frame} dumped")
+    save_hdr(config.output_name + ".hdr", renderer.get_image())
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.scene_file is None:
+        build_parser().print_help()
+        return 2
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    config = config_from_args(args)
+    print(f"{PRINT_PREFIX}algorithm set to {config.algorithm.value}.")
+    print(f"{PRINT_PREFIX}kernel set to {config.kernel.value}.")
+    print(f"{PRINT_PREFIX}iterations set to {config.iterations}.")
+    if config.interactive:
+        run_interactive(config)
+    else:
+        run_test(config)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""Runtime configuration: one dataclass replacing the reference's two-level
+config (boost::program_options runtime flags + Defines.h compile-time
+knobs; reference: implementation/src/Config.h:35-248,
+implementation/src/ConfigParser.cpp:10-165).  JAX specializes via jit, so
+everything is a runtime field here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+import os
+from typing import Optional, Tuple
+
+from .scene.types import RenderSettings
+
+
+class Kernel(enum.Enum):
+    """Scheduling strategies (reference: Config.h:87-95 Kernel enum)."""
+
+    NAIVE_SK = "naiveSK"
+    NAIVE_MK = "naiveMK"
+    REGENERATION_SK = "regenerationSK"
+    STREAMING_MK = "streamingMK"
+    STREAMING_SK = "streamingSK"
+    SORTING_SK = "sortingSK"
+
+    @classmethod
+    def from_name(cls, name: str) -> "Kernel":
+        for k in cls:
+            if k.value.lower() == name.lower():
+                return k
+        raise ValueError(
+            f"unknown kernel {name!r}; choose from "
+            f"{[k.value for k in cls]}"
+        )
+
+
+class Algorithm(enum.Enum):
+    """Only one algorithm exists (reference: Config.h:82-85)."""
+
+    CUDA_VOL_PATH = "cudaVolPath"
+
+
+class SceneType(enum.Enum):
+    AUTO = "Auto"
+    MITSUBA_XML = "MitsubaXml"
+    VDB = "Vdb"
+    RAW = "Raw"
+    MHD = "Mhd"
+    NPZ = "Npz"
+
+    @classmethod
+    def detect(cls, scene_path: str) -> "SceneType":
+        """Extension-based auto-detection
+        (reference: ConfigParser.cpp:79-97, extended with mhd/npz)."""
+        ext = os.path.splitext(scene_path)[1].lower()
+        if ext == ".xml":
+            return cls.MITSUBA_XML
+        if ext == ".vdb":
+            return cls.VDB
+        if ext == ".mhd":
+            return cls.MHD
+        if ext == ".npz":
+            return cls.NPZ
+        return cls.RAW
+
+
+@dataclasses.dataclass
+class TilingConfig:
+    """Image tiling (reference: Config.h:61-78): tile_dim = ceil(res / n)."""
+
+    resolution: Tuple[int, int] = (1024, 1024)
+    n_tiles: Tuple[int, int] = (1, 1)
+
+    @property
+    def tile_dim(self) -> Tuple[int, int]:
+        return (
+            math.ceil(self.resolution[0] / self.n_tiles[0]),
+            math.ceil(self.resolution[1] / self.n_tiles[1]),
+        )
+
+
+@dataclasses.dataclass
+class Config:
+    """Full run configuration (CLI mirror of ConfigParser.cpp:10-67)."""
+
+    scene_file: Optional[str] = None
+    scene_type: SceneType = SceneType.AUTO
+    algorithm: Algorithm = Algorithm.CUDA_VOL_PATH
+    kernel: Kernel = Kernel.REGENERATION_SK
+    iterations: int = 20
+    resolution: Tuple[int, int] = (1024, 1024)
+    n_tiles: Tuple[int, int] = (1, 1)
+    trials: int = 1
+    interactive: bool = False  # offline progressive dumps replace GLFW
+    output_name: Optional[str] = None
+    seed: int = 1234
+    #: wavefront pool size for regeneration/streaming schedulers
+    #: (the persistent-thread grid-size analog)
+    n_lanes: int = 1 << 17
+    #: samples per launch for the naive scheduler (memory bound)
+    spp_per_launch: int = 4
+    settings: RenderSettings = dataclasses.field(
+        default_factory=lambda: RenderSettings.from_flags(True)
+    )
+
+    @property
+    def tiling(self) -> TilingConfig:
+        return TilingConfig(resolution=self.resolution, n_tiles=self.n_tiles)
+
+    def to_string(self) -> str:
+        """Default output name (reference: Config.h:237-248)."""
+        return (
+            f"algorithm_{self.algorithm.value}_kernel_{self.kernel.value}"
+            f"_iter_{self.iterations}"
+        )

@@ -1,0 +1,402 @@
+"""Differentiable rendering: gradients of pixel radiance w.r.t. the voxel
+density and albedo grids through the stochastic transmittance estimator.
+
+New capability over the reference (per BASELINE.json), designed TPU-first
+as *path-replay backprop* with a score-function density estimator:
+
+  forward:   render as usual (any scheduler); save nothing but the seed.
+  backward:  replay every path with the identical counter-based RNG
+             streams (deterministic by construction, ops/rng.py) —
+             pass A recomputes each lane's final contribution C;
+             pass B replays again, scatter-adding adjoints:
+               albedo (reparameterized, exact):
+                   dL/d albedo_c(tap) += g_c[pixel] * C_c / albedo_c(x)
+                       * trilerp_weight(tap)
+                 at every scatter event;
+               density (score function, unbiased):
+                   real collision at x:  s * 1/rho(x)
+                   null collision at x:  s * -1/(rho_max - rho(x))
+                 with s = sum_c g_c[pixel] * C_c, scattered to the 8
+                 trilinear taps of every Woodcock density evaluation.
+
+  This stores O(1) per path (recompute instead of record — the
+  jax.checkpoint philosophy applied to a stochastic estimator), and every
+  adjoint is a segment-sum-style scatter, the TPU-native replacement for
+  atomic gradient accumulation.
+
+Sampling decisions are treated as fixed under differentiation
+(stop-gradient free flight); Russian roulette decisions are likewise
+detached — gradcheck configs disable RR (settings.russian_roulette=False)
+to make finite differences exact in expectation.
+
+The score-function derivation (null-collision process):
+  p(path) ∝ prod_null (1 - rho(x_i)/rho_max) * prod_real (rho(x_j)/rho_max)
+  d log p / d rho(x_i)|null = -1/(rho_max - rho(x_i))
+  d log p / d rho(x_j)|real = +1/rho(x_j)
+with the majorant rho_max held constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EPSILON
+from ..ops import aabb, camera as cam, ggx, math3, phase, woodcock
+from ..ops.grid import Grid, sample
+from ..ops.rng import RngState, make_rng, next_float
+from ..scene.types import Bsdf, Medium, RenderSettings, Scene
+from . import integrator, naive
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    """Hashable non-grid scene parameters (custom_vjp static args)."""
+
+    box_min: Tuple[float, float, float] = (-0.5, -0.5, -0.5)
+    box_max: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    scale: float = 1.0
+    max_density: float = 1.0
+    g: float = 0.0
+    roughness: Tuple[float, float] = (0.1, 0.1)
+    eta: float = 1.05 / 1.01
+    le: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    @classmethod
+    def from_scene(cls, scene: Scene) -> "SceneSpec":
+        med = scene.medium
+        return cls(
+            box_min=tuple(float(v) for v in med.box_min),
+            box_max=tuple(float(v) for v in med.box_max),
+            scale=float(med.scale),
+            max_density=float(med.max_density),
+            g=float(med.g),
+            roughness=tuple(float(v) for v in scene.bsdf.roughness),
+            eta=float(scene.bsdf.eta),
+            le=tuple(float(v) for v in scene.le),
+        )
+
+    def build(self, density_data, albedo_data) -> Scene:
+        return Scene(
+            medium=Medium(
+                density=Grid(data=density_data),
+                albedo=Grid(data=albedo_data),
+                box_min=jnp.asarray(self.box_min, jnp.float32),
+                box_max=jnp.asarray(self.box_max, jnp.float32),
+                scale=jnp.asarray(self.scale, jnp.float32),
+                max_density=jnp.asarray(self.max_density, jnp.float32),
+                g=jnp.asarray(self.g, jnp.float32),
+            ),
+            bsdf=Bsdf(
+                roughness=jnp.asarray(self.roughness, jnp.float32),
+                eta=jnp.asarray(self.eta, jnp.float32),
+            ),
+            le=jnp.asarray(self.le, jnp.float32),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraSpec:
+    """Hashable camera parameters (custom_vjp static args)."""
+
+    res_x: int = 400
+    res_y: int = 400
+    fov_x_deg: float = 0.7
+    position: Tuple[float, float, float] = (0.0, 0.0, 100.0)
+    mitsuba_comparable: bool = True
+
+    def build(self) -> cam.Camera:
+        return cam.make_camera(
+            self.res_x, self.res_y, self.fov_x_deg, self.position,
+            self.mitsuba_comparable,
+        )
+
+
+def _trilerp_taps(grid_shape_zyx, box_min, box_max, p_world):
+    """Flat tap indices + lerp weights for scatter-adding adjoints at the
+    same 8 taps the forward trilinear sampler reads (ops/grid.py)."""
+    nz, ny, nx = grid_shape_zyx[:3]
+    p01 = (p_world - box_min) / (box_max - box_min)
+    coord = p01 * jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32)
+    c0 = jnp.floor(coord)
+    i0 = c0.astype(jnp.int32)
+    f = coord - c0
+    taps = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ix = jnp.clip(i0[..., 0] + dx, 0, nx - 1)
+                iy = jnp.clip(i0[..., 1] + dy, 0, ny - 1)
+                iz = jnp.clip(i0[..., 2] + dz, 0, nz - 1)
+                w = (
+                    (f[..., 0] if dx else 1.0 - f[..., 0])
+                    * (f[..., 1] if dy else 1.0 - f[..., 1])
+                    * (f[..., 2] if dz else 1.0 - f[..., 2])
+                )
+                taps.append(((iz * ny + iy) * nx + ix, w))
+    return taps
+
+
+class _ReplayState(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+    throughput: jnp.ndarray
+    radiance: jnp.ndarray
+    alive: jnp.ndarray
+    rng: RngState
+    d_density: jnp.ndarray  # flat (Nvox,) cotangent accumulator
+    d_albedo: jnp.ndarray  # flat (Nvox, C) cotangent accumulator
+
+
+def _replay_bounce(scene, settings, st, s_lane, g_lane, record):
+    """One bounce identical to integrator.bounce_step, optionally
+    scatter-adding adjoints (record=True for pass B)."""
+    med = scene.medium
+    o, d, tput, rad, alive, rng = (
+        st.o, st.d, st.throughput, st.radiance, st.alive, st.rng
+    )
+    d_density, d_albedo = st.d_density, st.d_albedo
+
+    isect = aabb.aabb_intersect(med.box_min, med.box_max, o, d)
+    miss = jnp.logical_and(alive, jnp.logical_not(isect.hit))
+    rad = jnp.where(miss[..., None], rad + tput * scene.le, rad)
+    alive = jnp.logical_and(alive, isect.hit)
+    in_medium = jnp.logical_and(alive, isect.inside_volume)
+
+    # --- Woodcock with score-function recording --------------------------
+    scale = med.scale
+    rho_max = med.max_density
+    inv_sigmat = 1.0 / (scale * rho_max)
+    extent = med.box_max - med.box_min
+    t0 = jnp.zeros(isect.dist.shape, jnp.float32)
+
+    def wcond(c):
+        return jnp.any(c[2])
+
+    def wbody(c):
+        t, rng_c, running, dd = c
+        u1, rng_c = next_float(rng_c, running)
+        step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
+        t_new = t + step
+        p = o + t_new[..., None] * d
+        p01 = (p - med.box_min) / extent
+        rho = sample(med.density, p01, settings.interpolation)
+        u2, rng_c = next_float(rng_c, running)
+        overran = t_new > isect.dist
+        accepted = jnp.logical_not(scale * rho * inv_sigmat < u2)
+        # Score terms: every *evaluated* collision inside [0, max_t]
+        # contributes; overruns past the boundary were never realized
+        # collisions (the reference evaluates the density there but the
+        # event is discarded), so they carry no score.
+        if record:
+            is_real = jnp.logical_and(
+                running, jnp.logical_and(accepted, jnp.logical_not(overran))
+            )
+            is_null = jnp.logical_and(
+                running,
+                jnp.logical_and(jnp.logical_not(accepted),
+                                jnp.logical_not(overran)),
+            )
+            score = jnp.where(
+                is_real,
+                1.0 / jnp.maximum(rho, 1e-8),
+                jnp.where(
+                    is_null, -1.0 / jnp.maximum(rho_max - rho, 1e-8), 0.0
+                ),
+            )
+            val = s_lane * score
+            for idx, w in _trilerp_taps(
+                med.density.data.shape, med.box_min, med.box_max, p
+            ):
+                dd = dd.at[idx].add(val * w, mode="drop")
+        terminated = jnp.logical_or(overran, accepted)
+        t = jnp.where(running, t_new, t)
+        running = jnp.logical_and(running, jnp.logical_not(terminated))
+        return (t, rng_c, running, dd)
+
+    t_w, rng, _, d_density = jax.lax.while_loop(
+        wcond, wbody, (t0, rng, in_medium, d_density)
+    )
+    scattered = jnp.logical_and(in_medium, t_w < isect.dist)
+    boundary = jnp.logical_and(alive, jnp.logical_not(scattered))
+
+    # --- boundary event ---------------------------------------------------
+    o_bound = o + d * isect.dist[..., None]
+    fx, fy, fz = math3.frame_from_z(isect.normal)
+    wi_local = math3.to_local(fx, fy, fz, math3.normalize(-d))
+    if settings.bsdf_kind == "ggx":
+        wo_local, weight, valid, rng = ggx.ggx_sample(
+            scene.bsdf.roughness, scene.bsdf.eta, wi_local, rng,
+            active=boundary,
+            mitsuba_comparable=settings.mitsuba_comparable,
+        )
+        d_bsdf = math3.to_world(fx, fy, fz, wo_local)
+    else:
+        weight = jnp.ones(wi_local.shape[:-1], jnp.float32)
+        valid = jnp.ones(wi_local.shape[:-1], bool)
+        d_bsdf = d
+    bsdf_ok = jnp.logical_and(boundary, valid)
+    o_b = jnp.where(bsdf_ok[..., None], o_bound + d_bsdf * EPSILON, o_bound)
+    d_b = jnp.where(bsdf_ok[..., None], d_bsdf, d)
+    t_b = jnp.where(bsdf_ok[..., None], tput * weight[..., None], tput)
+
+    # --- scatter event + albedo adjoint ----------------------------------
+    o_s = o + d * t_w[..., None] - d * EPSILON
+    albedo = integrator.sample_albedo(scene, o_s, settings)
+    if record:
+        # dC/d albedo_c(x) = C_c / albedo_c(x); cotangent g_lane_c.
+        adj = jnp.where(
+            scattered[..., None],
+            g_lane / jnp.maximum(albedo, 1e-8),
+            0.0,
+        )
+        pad = jnp.zeros(adj.shape[:-1] + (1,), jnp.float32)  # alpha chan
+        adj4 = jnp.concatenate([adj, pad], axis=-1)
+        for idx, w in _trilerp_taps(
+            scene.medium.albedo.data.shape, med.box_min, med.box_max, o_s
+        ):
+            d_albedo = d_albedo.at[idx].add(adj4 * w[..., None], mode="drop")
+    d_s, rng = phase.sample_phase(d, med.g, rng, active=scattered)
+
+    o = jnp.where(
+        scattered[..., None], o_s,
+        jnp.where(boundary[..., None], o_b, o),
+    )
+    d = jnp.where(
+        scattered[..., None], d_s,
+        jnp.where(boundary[..., None], d_b, d),
+    )
+    tput = jnp.where(
+        scattered[..., None], tput * albedo,
+        jnp.where(boundary[..., None], t_b, tput),
+    )
+
+    if settings.russian_roulette:
+        p_survive = jnp.minimum(1.0, math3.max3(tput))
+        u, rng = next_float(rng, alive)
+        killed = jnp.logical_and(alive, u > p_survive)
+        alive = jnp.logical_and(alive, jnp.logical_not(killed))
+        tput = jnp.where(
+            alive[..., None],
+            tput / jnp.maximum(p_survive, 1e-20)[..., None],
+            tput,
+        )
+
+    return _ReplayState(
+        o=o, d=d, throughput=tput, radiance=rad, alive=alive, rng=rng,
+        d_density=d_density, d_albedo=d_albedo,
+    )
+
+
+def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
+            d_density0, d_albedo0):
+    n = o0.shape[:-1]
+    st = _ReplayState(
+        o=o0, d=d0,
+        throughput=jnp.ones(n + (3,), jnp.float32),
+        radiance=jnp.zeros(n + (3,), jnp.float32),
+        alive=jnp.ones(n, bool),
+        rng=rng0,
+        d_density=d_density0, d_albedo=d_albedo0,
+    )
+
+    def cond(c):
+        st, bounce = c
+        return jnp.logical_and(
+            jnp.any(st.alive), bounce < settings.max_path_length
+        )
+
+    def body(c):
+        st, bounce = c
+        return (
+            _replay_bounce(scene, settings, st, s_lane, g_lane, record),
+            bounce + 1,
+        )
+
+    final, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return final
+
+
+@partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7),
+)
+def render_diff(
+    density_data,
+    albedo_data,
+    seed,
+    scene_spec: SceneSpec,
+    camera_spec: CameraSpec,
+    settings: RenderSettings,
+    resolution: Tuple[int, int],
+    spp: int,
+):
+    """Differentiable render: image (H, W, 3) from grid parameters.
+
+    scene_spec/camera_spec supply everything except the grids and are
+    hashable compile-time constants.
+    """
+    scene = scene_spec.build(density_data, albedo_data)
+    img, _ = naive.render_tile(
+        scene, camera_spec.build(), settings, resolution,
+        jnp.zeros(2, jnp.float32), resolution, spp, seed, 0,
+    )
+    return img
+
+
+def _fwd(density_data, albedo_data, seed, scene_spec, camera_spec,
+         settings, resolution, spp):
+    img = render_diff(
+        density_data, albedo_data, seed, scene_spec, camera_spec,
+        settings, resolution, spp,
+    )
+    return img, (density_data, albedo_data, seed)
+
+
+def _bwd(scene_spec, camera_spec, settings, resolution, spp,
+         residuals, g_img):
+    density_data, albedo_data, seed = residuals
+    scene = scene_spec.build(density_data, albedo_data)
+    camera = camera_spec.build()
+    tw, th = resolution
+    n_lanes = tw * th * spp
+    image_id, pixel_xy = naive.lane_pixels(
+        n_lanes, resolution, jnp.zeros(2, jnp.float32)
+    )
+    path_id = jnp.arange(n_lanes, dtype=jnp.uint32)
+    rng = make_rng(seed, path_id)
+    o0, d0, rng = cam.generate_rays(camera, pixel_xy, resolution, rng)
+
+    zero_d = jnp.zeros((density_data.size,), jnp.float32)
+    zero_a = jnp.zeros(
+        (albedo_data.size // albedo_data.shape[-1], albedo_data.shape[-1]),
+        jnp.float32,
+    )
+
+    # Pass A: recompute per-lane contributions C.
+    pass_a = _replay(
+        scene, settings, o0, d0, rng, jnp.zeros((n_lanes,), jnp.float32),
+        jnp.zeros((n_lanes, 3), jnp.float32), False, zero_d, zero_a,
+    )
+    c_lane = pass_a.radiance  # (N, 3)
+    g_pix = g_img.reshape(-1, 3)
+    g_lane = jnp.take(g_pix, image_id, axis=0) * c_lane  # (N, 3) g_c * C_c
+    s_lane = jnp.sum(g_lane, axis=-1)  # (N,)
+
+    # Pass B: replay with adjoint scatter.
+    pass_b = _replay(
+        scene, settings, o0, d0, rng, s_lane, g_lane, True, zero_d, zero_a,
+    )
+    d_density = pass_b.d_density.reshape(density_data.shape)
+    d_albedo = pass_b.d_albedo.reshape(albedo_data.shape)
+    import numpy as _np
+
+    ct_seed = _np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return d_density, d_albedo, ct_seed
+
+
+render_diff.defvjp(_fwd, _bwd)

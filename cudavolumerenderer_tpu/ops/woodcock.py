@@ -1,0 +1,136 @@
+"""Woodcock (delta) tracking free-flight sampling over a ray wavefront.
+
+Re-expresses the reference's per-thread rejection loop (reference:
+implementation/src/Utilities.cuh:134-155, called from
+implementation/src/Medium.h:135-143) as a batched `lax.while_loop`: every
+iteration all running lanes take one tentative step and one density gather;
+lanes that accept an event or overrun the boundary drop out of the running
+mask.  The loop exits when the whole wavefront has resolved.  RNG draws
+only advance on running lanes so per-lane streams match a sequential
+execution.
+
+The world→[0,1]^3 transform here is the exact box normalization
+(p - box_min) / extent.  The reference's worldToAABB has a parenthesization
+slip (`p - start / range`, Utilities.cuh:129-132) that cancels only because
+all in-tree scenes use the unit box [-0.5, 0.5]^3; on that box the two
+agree bit-for-bit, and we implement the generally-correct form.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EPSILON
+from .grid import Grid, sample
+from .rng import RngState, next_float
+
+
+class WoodcockResult(NamedTuple):
+    t: jnp.ndarray  # (...,) sampled free-flight distance (may exceed max_t)
+    scattered: jnp.ndarray  # (...,) bool — event before the boundary
+    rng: RngState
+    n_steps: jnp.ndarray  # () int32 — total tracking iterations executed
+
+
+def woodcock_track(
+    density: Grid,
+    box_min: jnp.ndarray,
+    box_max: jnp.ndarray,
+    density_scale,
+    max_density,
+    o: jnp.ndarray,  # (..., 3)
+    d: jnp.ndarray,  # (..., 3)
+    max_t: jnp.ndarray,  # (...,)
+    rng: RngState,
+    active: jnp.ndarray,  # (...,) bool — lanes that should track at all
+    interpolation: str = "trilinear",
+) -> WoodcockResult:
+    """Sample free-flight distances for all active lanes.
+
+    Matches the reference loop: t += -log(max(u, EPS)) / (scale * rho_max);
+    accept when rho(x)/rho_max >= u'; stop when t > max_t.  Inactive lanes
+    return t = 0, scattered = False, untouched RNG.
+    """
+    inv_sigmat = 1.0 / (
+        jnp.asarray(density_scale, jnp.float32)
+        * jnp.asarray(max_density, jnp.float32)
+    )
+    extent = box_max - box_min
+    scale = jnp.asarray(density_scale, jnp.float32)
+
+    t0 = jnp.zeros(max_t.shape, jnp.float32)
+    steps0 = jnp.zeros((), jnp.int32)
+
+    def cond(carry):
+        _, _, running, _ = carry
+        return jnp.any(running)
+
+    def body(carry):
+        t, rng_c, running, steps = carry
+        u1, rng_c = next_float(rng_c, running)
+        step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
+        t_new = t + step
+        p = o + t_new[..., None] * d
+        p01 = (p - box_min) / extent
+        rho = sample(density, p01, interpolation)
+        u2, rng_c = next_float(rng_c, running)
+        keep = jnp.logical_and(
+            t_new <= max_t, scale * rho * inv_sigmat < u2
+        )
+        t = jnp.where(running, t_new, t)
+        running = jnp.logical_and(running, keep)
+        return (t, rng_c, running, steps + 1)
+
+    t, rng, _, n_steps = jax.lax.while_loop(
+        cond, body, (t0, rng, active, steps0)
+    )
+    scattered = jnp.logical_and(active, t < max_t)
+    return WoodcockResult(t=t, scattered=scattered, rng=rng, n_steps=n_steps)
+
+
+def woodcock_step_masked(
+    density: Grid,
+    box_min: jnp.ndarray,
+    box_max: jnp.ndarray,
+    density_scale,
+    max_density,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t: jnp.ndarray,
+    max_t: jnp.ndarray,
+    rng: RngState,
+    tracking: jnp.ndarray,  # (...,) bool — lanes currently mid-tracking
+    interpolation: str = "trilinear",
+):
+    """One fused tracking step for the wavefront schedulers.
+
+    Used by the regeneration/streaming integrators, which interleave
+    tracking steps with event handling in a single flat super-loop instead
+    of nesting a dedicated while_loop per bounce segment.  Returns
+    (t_new, terminated, scattered, rng): ``terminated`` lanes finished
+    their segment this step; ``scattered`` distinguishes a real medium
+    event from a boundary overrun.
+    """
+    inv_sigmat = 1.0 / (
+        jnp.asarray(density_scale, jnp.float32)
+        * jnp.asarray(max_density, jnp.float32)
+    )
+    extent = box_max - box_min
+    scale = jnp.asarray(density_scale, jnp.float32)
+
+    u1, rng = next_float(rng, tracking)
+    step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
+    t_new = jnp.where(tracking, t + step, t)
+    p = o + t_new[..., None] * d
+    p01 = (p - box_min) / extent
+    rho = sample(density, p01, interpolation)
+    u2, rng = next_float(rng, tracking)
+
+    overran = t_new > max_t
+    accepted = jnp.logical_not(scale * rho * inv_sigmat < u2)
+    terminated = jnp.logical_and(tracking, jnp.logical_or(overran, accepted))
+    scattered = jnp.logical_and(terminated, jnp.logical_not(overran))
+    return t_new, terminated, scattered, rng

@@ -1,0 +1,146 @@
+"""Sharded rendering and sharded inverse-rendering steps.
+
+The multi-chip re-expression of the reference's parallelism (SURVEY.md
+§2.8): samples (paths) are sharded across the 'rays' mesh axis — each
+device renders a disjoint set of sample indices for the same image with
+its own deterministic RNG streams — and per-device partial images are
+summed with psum over ICI.  This is exactly the role atomicVectorAdd on
+d_output plays on the GPU (Utilities.cuh:15-22), lifted to the
+inter-chip level.  Voxel grids are replicated; the inverse pass psums the
+per-voxel cotangent grids the same way (gradient all-reduce overlapped by
+XLA with the backward compute).
+
+Because path RNG streams depend only on (seed, path_id), the sharded
+image is bit-identical (modulo f32 psum order) to the single-device
+image with the same total spp — the shard-invariance property tested in
+tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.camera import Camera
+from ..scene.types import RenderSettings, Scene
+from ..models import naive, streaming
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    resolution: Tuple[int, int],
+    spp: int,
+    seed: int,
+    mesh: Mesh,
+    kernel: str = "streaming",
+    n_lanes: int = 1 << 16,
+):
+    """Render `spp` total samples/pixel sharded over the mesh's 'rays'
+    axis.  spp must be divisible by the axis size.  Returns (image,
+    n_rays) replicated on all devices."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    if spp % n_dev != 0:
+        raise ValueError(f"spp={spp} not divisible by mesh size {n_dev}")
+    spp_shard = spp // n_dev
+    w, h = resolution
+    n_pix = w * h
+
+    def shard_fn(scene_r, camera_r):
+        idx = jax.lax.axis_index(axis)
+        base = (idx * n_pix * spp_shard).astype(jnp.uint32)
+        if kernel == "streaming":
+            img, n_rays = streaming.render_tile(
+                scene_r, camera_r, settings, resolution,
+                jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
+                base, n_lanes=min(n_lanes, n_pix * spp_shard),
+            )
+        else:
+            img, n_rays = naive.render_tile(
+                scene_r, camera_r, settings, resolution,
+                jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
+                base,
+            )
+        img = jax.lax.psum(img, axis)
+        n_rays = jax.lax.psum(n_rays, axis)
+        return img, n_rays
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(scene, camera)
+
+
+def make_inverse_step(
+    scene_spec,
+    camera_spec,
+    settings: RenderSettings,
+    resolution: Tuple[int, int],
+    spp_per_device: int,
+    mesh: Mesh,
+    optimizer,
+):
+    """Build the sharded inverse-rendering training step.
+
+    Per device: render with device-local sample streams, compute MSE to
+    the target, backprop through the path-replay custom_vjp
+    (models/differentiable.py), then psum the per-voxel gradients across
+    the 'rays' axis — the all-reduce the reference never needed but
+    BASELINE.json demands for the differentiable pass.  Returns a jitted
+    step: (params, opt_state, target, seed) → (params, opt_state, loss).
+    """
+    from ..models.differentiable import render_diff
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    w, h = resolution
+    n_pix = w * h
+
+    def per_device_loss(density, albedo, target, seed):
+        img = render_diff(
+            density, albedo, seed, scene_spec, camera_spec, settings,
+            resolution, spp_per_device,
+        ) / float(spp_per_device)
+        return jnp.mean((img - target) ** 2)
+
+    def shard_grads(density, albedo, target, seed):
+        idx = jax.lax.axis_index(axis)
+        # distinct sample streams per device via a device-salted seed
+        dev_seed = seed + idx * jnp.uint32(0x9E3779B9)
+        loss, grads = jax.value_and_grad(per_device_loss, argnums=(0, 1))(
+            density, albedo, target, dev_seed
+        )
+        loss = jax.lax.pmean(loss, axis)
+        g_density = jax.lax.pmean(grads[0], axis)
+        g_albedo = jax.lax.pmean(grads[1], axis)
+        return loss, g_density, g_albedo
+
+    sharded = jax.shard_map(
+        shard_grads, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, target, seed):
+        density, albedo = params
+        loss, g_density, g_albedo = sharded(
+            density, albedo, target, jnp.asarray(seed, jnp.uint32)
+        )
+        updates, opt_state = optimizer.update(
+            (g_density, g_albedo), opt_state, params
+        )
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

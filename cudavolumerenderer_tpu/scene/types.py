@@ -1,0 +1,136 @@
+"""Scene data model: pytrees consumed by the jitted render functions.
+
+Replaces the reference's host/device scene classes (reference:
+implementation/src/Scene.h:19-54, implementation/src/Medium.h:111-191,
+implementation/src/Bsdf.h:17-30) with immutable NamedTuple pytrees.  All
+numeric fields are traced JAX arrays so one compiled renderer serves every
+scene of the same grid shape; everything shape-like or branch-like lives in
+the static `RenderSettings` (JAX specializes via jit instead of the
+reference's template-instantiation matrix, Defines.h:93-118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid import Grid
+
+
+class Medium(NamedTuple):
+    """Heterogeneous participating medium
+    (reference: implementation/src/Medium.h:111-158)."""
+
+    density: Grid  # (Z, Y, X) float32
+    albedo: Grid  # (Z, Y, X, 4) float32
+    box_min: jnp.ndarray  # (3,)
+    box_max: jnp.ndarray  # (3,)
+    scale: jnp.ndarray  # () sigma_t multiplier
+    max_density: jnp.ndarray  # ()
+    g: jnp.ndarray  # () HG anisotropy (reference default 0, Volume.h:20)
+
+
+class Bsdf(NamedTuple):
+    """Rough-dielectric boundary parameters
+    (reference: implementation/src/Bsdf.h:17-30).
+
+    eta = int_ior / ext_ior (reference default 1.05 / 1.01)."""
+
+    roughness: jnp.ndarray  # (2,)
+    eta: jnp.ndarray  # ()
+
+
+class Scene(NamedTuple):
+    """Medium + boundary + environment emission.
+
+    The reference's only light is a constant white environment
+    (Le == (1,1,1,1), Medium.h:174-177); we keep it as a traced parameter.
+    """
+
+    medium: Medium
+    bsdf: Bsdf
+    le: jnp.ndarray  # (3,) environment radiance
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) rendering switches.
+
+    Collapses the reference's Defines.h compile-time knobs
+    (MITSUBA_COMPARABLE, RUSSIAN_ROULETTE, max_path_length, filter mode)
+    into one hashable config used as a jit static argument.
+    """
+
+    mitsuba_comparable: bool = True
+    russian_roulette: bool = True
+    max_path_length: int = 1000
+    #: 'ggx' — reference boundary BSDF; 'null' — pass-through boundary
+    #: (reference: the BSDF base struct in Bsdf.h:6-15), used for
+    #: white-furnace oracles.
+    bsdf_kind: str = "ggx"
+    #: grid filter: 'trilinear' under mitsuba-comparable, else 'nearest'
+    #: (reference: Volume.h:50-69, CudaVolPath.cpp:171-175).
+    interpolation: str = "trilinear"
+    #: count traced rays (reference: RAYS_STATISTICS, Defines.h:49-50).
+    rays_statistics: bool = True
+
+    @classmethod
+    def from_flags(cls, mitsuba_comparable: bool = True, **kw) -> "RenderSettings":
+        interp = "trilinear" if mitsuba_comparable else "nearest"
+        return cls(
+            mitsuba_comparable=mitsuba_comparable, interpolation=interp, **kw
+        )
+
+
+def make_medium(
+    density_zyx: np.ndarray,
+    albedo_zyx: np.ndarray,
+    box_min=(-0.5, -0.5, -0.5),
+    box_max=(0.5, 0.5, 0.5),
+    scale: float = 1.0,
+    max_density: float | None = None,
+    g: float = 0.0,
+) -> Medium:
+    """Assemble a Medium from numpy volumes (x-fastest (Z, Y, X[,C]) layout)."""
+    density_zyx = np.asarray(density_zyx, np.float32)
+    albedo_zyx = np.asarray(albedo_zyx, np.float32)
+    if albedo_zyx.ndim == 3:
+        albedo_zyx = albedo_zyx[..., None]
+    if albedo_zyx.shape[-1] == 3:
+        albedo_zyx = np.concatenate(
+            [albedo_zyx, np.ones(albedo_zyx.shape[:-1] + (1,), np.float32)],
+            axis=-1,
+        )
+    if max_density is None:
+        max_density = float(density_zyx.max())
+    return Medium(
+        density=Grid(data=jnp.asarray(density_zyx)),
+        albedo=Grid(data=jnp.asarray(albedo_zyx)),
+        box_min=jnp.asarray(box_min, jnp.float32),
+        box_max=jnp.asarray(box_max, jnp.float32),
+        scale=jnp.asarray(scale, jnp.float32),
+        max_density=jnp.asarray(max_density, jnp.float32),
+        g=jnp.asarray(g, jnp.float32),
+    )
+
+
+def make_scene(
+    medium: Medium,
+    roughness: Tuple[float, float] = (0.1, 0.1),
+    int_ior: float = 1.05,
+    ext_ior: float = 1.01,
+    le=(1.0, 1.0, 1.0),
+) -> Scene:
+    """Scene with the reference's default boundary and environment
+    (reference: Bsdf.h:20-23, Medium.h:174-177)."""
+    return Scene(
+        medium=medium,
+        bsdf=Bsdf(
+            roughness=jnp.asarray(roughness, jnp.float32),
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+        ),
+        le=jnp.asarray(le, jnp.float32),
+    )

@@ -1,0 +1,151 @@
+"""Gradient checks for the differentiable renderer (SURVEY.md §4c).
+
+Key facts used:
+- With Russian roulette off, path trajectories do not depend on albedo
+  at all, so fixed-seed finite differences in albedo are exact and must
+  match the reparameterized albedo gradient per-pixel.
+- Density gradients use the score-function estimator, which estimates
+  the derivative of the *expectation*; we check it against the analytic
+  transmittance derivative d/drho exp(-scale*rho*L) in an
+  absorption-only configuration (albedo = 0, pass-through boundary).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudavolumerenderer_tpu.models.differentiable import (
+    CameraSpec,
+    SceneSpec,
+    render_diff,
+)
+from cudavolumerenderer_tpu.scene.types import RenderSettings
+
+
+def settings_nr(max_len=16):
+    return RenderSettings.from_flags(
+        True, russian_roulette=False, max_path_length=max_len,
+        bsdf_kind="null",
+    )
+
+
+RES = (4, 4)
+SPEC = SceneSpec(scale=2.0, max_density=1.0)
+# fov narrow enough that every ray crosses the box (the default 0.7°
+# over-scans the unit box from z=100: 100*tan(0.35°) ≈ 0.61 > 0.5)
+CAM = CameraSpec(res_x=4, res_y=4, fov_x_deg=0.4)
+
+
+def grids(rho=0.5, alb=0.6, n=4):
+    density = jnp.full((n, n, n), rho, jnp.float32)
+    albedo = jnp.full((n, n, n, 4), alb, jnp.float32)
+    return density, albedo
+
+
+class TestAlbedoGradient:
+    def test_matches_fixed_seed_finite_differences(self):
+        """RR off ⇒ trajectories independent of albedo ⇒ same-seed FD is
+        exact for the albedo gradient."""
+        density, albedo = grids()
+        settings = settings_nr()
+        spp, seed = 8, 3
+
+        def loss(a):
+            img = render_diff(
+                density, a, seed, SPEC, CAM, settings, RES, spp
+            )
+            return jnp.sum(img)
+
+        g = jax.grad(loss)(albedo)
+        # directional derivative along an all-ones rgb perturbation
+        h = 1e-3
+        direction = jnp.zeros_like(albedo).at[..., :3].set(1.0)
+        f_plus = loss(albedo + h * direction)
+        f_minus = loss(albedo - h * direction)
+        fd = (f_plus - f_minus) / (2 * h)
+        analytic = jnp.sum(g * direction)
+        np.testing.assert_allclose(
+            float(analytic), float(fd), rtol=2e-2, atol=1e-3
+        )
+
+    def test_albedo_gradient_is_positive(self):
+        """More albedo → brighter image, so dL/da >= 0 elementwise-summed."""
+        density, albedo = grids()
+        settings = settings_nr()
+
+        def loss(a):
+            return jnp.sum(
+                render_diff(density, a, 1, SPEC, CAM, settings, RES, 4)
+            )
+
+        g = jax.grad(loss)(albedo)
+        assert float(jnp.sum(g)) > 0.0
+
+
+class TestDensityGradient:
+    def test_matches_analytic_transmittance_derivative(self):
+        """Absorption-only: E[pixel] = exp(-scale*rho*L); the summed
+        density gradient must match dE/drho analytically."""
+        n = 4
+        rho = 0.5
+        density = jnp.full((n, n, n), rho, jnp.float32)
+        albedo = jnp.zeros((n, n, n, 4), jnp.float32)
+        settings = settings_nr(max_len=8)
+        spp = 2500  # 4x4 px * 2500 = 40k paths
+
+        def loss(dgrid):
+            img = render_diff(
+                dgrid, albedo, 11, SPEC, CAM, settings, RES, spp
+            )
+            return jnp.mean(img[..., 0]) / spp
+
+        val, g = jax.value_and_grad(loss)(density)
+        # Central rays traverse L ≈ 1 through the unit box: E ≈ exp(-2*rho)
+        expected_val = np.exp(-2.0 * rho)
+        assert abs(float(val) - expected_val) < 0.03
+        # directional derivative along uniform density shift
+        dE_drho = -2.0 * np.exp(-2.0 * rho)  # -scale*L*exp(-scale*rho*L)
+        total = float(jnp.sum(g))
+        assert abs(total - dE_drho) / abs(dE_drho) < 0.15, (
+            f"score-function density grad {total} vs analytic {dE_drho}"
+        )
+
+    def test_density_gradient_sign(self):
+        """Denser absorbing medium → darker image: summed grad < 0."""
+        density, _ = grids(rho=0.4)
+        albedo = jnp.zeros((4, 4, 4, 4), jnp.float32)
+        settings = settings_nr(max_len=8)
+
+        def loss(dgrid):
+            return jnp.sum(
+                render_diff(dgrid, albedo, 5, SPEC, CAM, settings, RES, 64)
+            )
+
+        g = jax.grad(loss)(density)
+        assert float(jnp.sum(g)) < 0.0
+
+
+class TestInverseRecovery:
+    def test_one_gradient_step_reduces_loss(self):
+        """A gradient step on a perturbed density moves the render toward
+        the target (tiny end-to-end inverse problem)."""
+        density, albedo = grids(rho=0.5, alb=0.0)
+        settings = settings_nr(max_len=8)
+        spp = 256
+
+        target = render_diff(
+            density, albedo, 21, SPEC, CAM, settings, RES, spp
+        ) / spp
+
+        def loss(d):
+            img = render_diff(
+                d, albedo, 22, SPEC, CAM, settings, RES, spp
+            ) / spp
+            return jnp.mean((img - target) ** 2)
+
+        d0 = density * 1.6
+        l0, g = jax.value_and_grad(loss)(d0)
+        d1 = jnp.clip(d0 - 25.0 * g, 0.0, 1.0)
+        l1 = loss(d1)
+        assert float(l1) < float(l0), (float(l0), float(l1))
