@@ -41,7 +41,7 @@ def main() -> int:
     iterations = 20
     camera = make_camera(res, res)
     config = Config(
-        kernel=Kernel.STREAMING_SK,
+        kernel=Kernel.FAST_SK,
         iterations=iterations,
         resolution=(res, res),
         n_tiles=(1, 1),
@@ -62,7 +62,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "Mrays/s bucky32 256px 20it (streamingSK wavefront)",
+                "metric": "Mrays/s bucky32 256px 20it (fastSK wavefront)",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / baseline_mrays, 3),

@@ -25,6 +25,9 @@ class Kernel(enum.Enum):
     STREAMING_MK = "streamingMK"
     STREAMING_SK = "streamingSK"
     SORTING_SK = "sortingSK"
+    #: beyond-reference TPU-tuned scheduler (models/fast.py): lane-pinned
+    #: pixels, fused albedo+density gather, stochastic trilinear filtering
+    FAST_SK = "fastSK"
 
     @classmethod
     def from_name(cls, name: str) -> "Kernel":

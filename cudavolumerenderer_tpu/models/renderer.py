@@ -21,7 +21,7 @@ import numpy as np
 from ..config import Config, Kernel
 from ..ops.camera import Camera
 from ..scene.types import Scene
-from . import naive, regeneration, streaming, wavefront_mk
+from . import fast, naive, regeneration, streaming, wavefront_mk
 
 
 def _tile_array(
@@ -138,6 +138,8 @@ def make_kernel_fn(config: Config):
     """Scheduler dispatch (reference: RendererFactory::createRenderer's
     6-kernel matrix, RendererFactory.h:43-113)."""
     k = config.kernel
+    if k == Kernel.FAST_SK:
+        return fast.render_tile
     if k == Kernel.NAIVE_SK:
         return naive.render_tile
     if k == Kernel.NAIVE_MK:

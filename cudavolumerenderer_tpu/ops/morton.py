@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
-DEAD_KEY = jnp.uint32(0xFFFFFFFF)
+DEAD_KEY = 0xFFFFFFFF  # python int; cast lazily (no import-time arrays)
 
 
 def expand_bits(v: jnp.ndarray) -> jnp.ndarray:

@@ -18,8 +18,11 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-_MULT = jnp.uint32(747796405)
+# NOTE: no module-level jnp array creation — it would initialize the JAX
+# backend at import time, before the CLI can select a platform (and the
+# axon TPU plugin's device init is expensive/single-process).
 _U32 = jnp.uint32
+_MULT = 747796405  # python int: weakly-typed, stays uint32 in arithmetic
 
 
 class RngState(NamedTuple):
