@@ -44,14 +44,21 @@ def _rgbe_decode(rgbe: np.ndarray) -> np.ndarray:
 
 
 def save_hdr(path: str, img: np.ndarray) -> None:
-    """Write a Radiance .hdr (uncompressed scanlines).  img: (H, W, 3)."""
+    """Write a Radiance .hdr (uncompressed scanlines).  img: (H, W, 3).
+    Uses the native encoder (csrc/cvr_native.cpp) when built."""
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
+    try:
+        from .native import available, rgbe_encode
+
+        encoder = rgbe_encode if available() else _rgbe_encode
+    except Exception:
+        encoder = _rgbe_encode
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\n")
         f.write(b"FORMAT=32-bit_rle_rgbe\n\n")
         f.write(f"-Y {h} +X {w}\n".encode())
-        f.write(_rgbe_encode(img[..., :3]).tobytes())
+        f.write(encoder(img[..., :3]).tobytes())
 
 
 def load_hdr(path: str) -> np.ndarray:
