@@ -50,6 +50,40 @@ def make_fused_grid(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate([alb, den], axis=-1)
 
 
+# Brick geometry for two-level tracking: (z, y, x) voxels per brick.
+# 4*4*8 = 128 entries = one vector row (matches csrc brick_pack).
+BRICK = (4, 4, 8)
+
+
+def brick_majorants(density_zyx: jnp.ndarray) -> jnp.ndarray:
+    """Per-brick *dilated* majorants: max over the brick's voxels plus a
+    one-voxel border on the high side, so any trilinear tap reachable
+    from inside the brick is covered (taps are floor(coord)..floor+1).
+
+    Computed with reduce_window so it jits and differentiates away
+    (majorants are stop-gradient by construction of the estimator).
+    """
+    bz, by, bx = BRICK
+    nz, ny, nx = density_zyx.shape
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    padded = jnp.pad(
+        density_zyx,
+        (
+            (0, nbz * bz + 1 - nz),
+            (0, nby * by + 1 - ny),
+            (0, nbx * bx + 1 - nx),
+        ),
+    )
+    return jax.lax.reduce_window(
+        padded,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(bz + 1, by + 1, bx + 1),
+        window_strides=(bz, by, bx),
+        padding="valid",
+    )
+
+
 class FastState(NamedTuple):
     o: jnp.ndarray
     d: jnp.ndarray
@@ -63,6 +97,9 @@ class FastState(NamedTuple):
     normal: jnp.ndarray
     rng: RngState
     n_rays: jnp.ndarray
+    # two-level tracking extras (unused when two_level=False)
+    brick_exit: jnp.ndarray  # (N,) t at which the ray leaves its brick
+    inv_sig_local: jnp.ndarray  # (N,) 1/(scale*rho_max_brick)
 
 
 def _stochastic_tap(coord, f_bits):
@@ -81,7 +118,8 @@ def _stochastic_tap(coord, f_bits):
 @partial(
     jax.jit,
     static_argnames=(
-        "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel"
+        "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
+        "two_level",
     ),
 )
 def render_tile(
@@ -94,7 +132,8 @@ def render_tile(
     spp: int,
     seed,
     path_id_base,
-    lanes_per_pixel: int = 2,
+    lanes_per_pixel: int = 1,
+    two_level: bool = False,
 ):
     tw, th = tile_dim
     n_pix = tw * th
@@ -111,6 +150,12 @@ def render_tile(
     extent = med.box_max - med.box_min
     scale = med.scale
     inv_sigmat = 1.0 / (scale * med.max_density)
+    if two_level:
+        bz_, by_, bx_ = BRICK
+        nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
+        bm_flat = brick_majorants(med.density.data).reshape(-1)
+        brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
+        brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
 
     lane = jnp.arange(n_lanes, dtype=jnp.uint32)
     pix = lane % jnp.uint32(n_pix)
@@ -136,6 +181,8 @@ def render_tile(
         normal=zero3,
         rng=make_rng(seed, jnp.zeros((n_lanes,), jnp.uint32)),
         n_rays=jnp.zeros((), jnp.float32),
+        brick_exit=jnp.full((n_lanes,), -1.0, jnp.float32),
+        inv_sig_local=jnp.zeros((n_lanes,), jnp.float32),
     )
 
     def cond(carry):
@@ -186,31 +233,124 @@ def render_tile(
         t = jnp.where(enters, 0.0, s.t)
         max_t = jnp.where(enters, isect.dist, s.max_t)
         normal = jnp.where(need_isect[..., None], isect.normal, s.normal)
+        brick_exit = jnp.where(enters, -1.0, s.brick_exit)
+        inv_sig_local = s.inv_sig_local
 
-        # --- one Woodcock step, fused gather, stochastic filter ----------
+        # --- tracking: fused gather, stochastic filter --------------------
         step_mask = jnp.logical_and(tracking, jnp.logical_not(enters))
-        u1, rng = next_float(rng, step_mask)
-        step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
-        t_new = jnp.where(step_mask, t + step, t)
-        p = o + t_new[..., None] * d
-        coord = jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
-        tap_bits, rng = next_uint32(rng, step_mask)
-        tap = _stochastic_tap(coord, tap_bits)
-        ix = jnp.clip(tap[..., 0], 0, nx - 1)
-        iy = jnp.clip(tap[..., 1], 0, ny - 1)
-        iz = jnp.clip(tap[..., 2], 0, nz - 1)
-        row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)  # (N,4)
-        rho_hat = row[..., 3]
-        alb_hat = row[..., :3]
-        u2, rng = next_float(rng, step_mask)
-        overran = t_new > max_t
-        accepted = jnp.logical_not(scale * rho_hat * inv_sigmat < u2)
-        terminated = jnp.logical_and(
-            step_mask, jnp.logical_or(overran, accepted)
-        )
-        scattered = jnp.logical_and(terminated, jnp.logical_not(overran))
-        t = t_new
-        tracking = jnp.logical_and(tracking, jnp.logical_not(terminated))
+        if two_level:
+            # Two-level (sparse-leap) delta tracking: the majorant is the
+            # per-brick dilated maximum, so steps are long in thin regions
+            # and empty bricks are crossed in one DDA transit with no
+            # density fetch.  Exact by memorylessness of the exponential:
+            # restarting the free flight at each brick entry with the local
+            # majorant realizes piecewise-majorant delta tracking.
+            epsw = jnp.max(extent) * 1e-6
+            need_brick = jnp.logical_and(step_mask, t >= brick_exit)
+            p_now = o + (t + epsw)[..., None] * d
+            coordn = (
+                jnp.clip((p_now - med.box_min) / extent, 0.0, 1.0)
+                * res_minus_1
+            )
+            bi = jnp.clip(
+                jnp.floor(coordn / brick_size).astype(jnp.int32),
+                0,
+                brick_hi,
+            )
+            bflat = (bi[..., 2] * nby + bi[..., 1]) * nbx + bi[..., 0]
+            rho_b = jnp.take(bm_flat, bflat, axis=0)
+            up = (d > 0.0).astype(jnp.float32)
+            bound_coord = (bi.astype(jnp.float32) + up) * brick_size
+            bound_world = med.box_min + extent * bound_coord / res_minus_1
+            tiny_d = jnp.abs(d) > 1e-12
+            t_axes = jnp.where(
+                tiny_d,
+                (bound_world - o) / jnp.where(tiny_d, d, 1.0),
+                jnp.inf,
+            )
+            exit_new = jnp.maximum(jnp.min(t_axes, axis=-1), t + epsw)
+            brick_exit = jnp.where(need_brick, exit_new, brick_exit)
+            inv_new = jnp.where(
+                rho_b > 0.0,
+                1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
+                jnp.inf,
+            )
+            inv_sig_local = jnp.where(need_brick, inv_new, inv_sig_local)
+
+            empty = jnp.logical_and(
+                step_mask, jnp.logical_not(jnp.isfinite(inv_sig_local))
+            )
+            stepping = jnp.logical_and(step_mask, jnp.logical_not(empty))
+            u1, rng = next_float(rng, stepping)
+            step = jnp.where(
+                stepping,
+                -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig_local,
+                0.0,
+            )
+            t_cand = jnp.where(empty, brick_exit, t + step)
+            eff_exit = jnp.minimum(brick_exit, max_t)
+            crossed = jnp.logical_and(step_mask, t_cand >= eff_exit)
+            overran = jnp.logical_and(crossed, max_t <= brick_exit)
+            transit = jnp.logical_and(crossed, jnp.logical_not(overran))
+            inside = jnp.logical_and(stepping, jnp.logical_not(crossed))
+
+            t_new = jnp.where(
+                transit,
+                brick_exit,
+                jnp.where(step_mask, t_cand, t),
+            )
+            p = o + t_new[..., None] * d
+            coord = (
+                jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
+            )
+            tap_bits, rng = next_uint32(rng, inside)
+            tap = _stochastic_tap(coord, tap_bits)
+            ix = jnp.clip(tap[..., 0], 0, nx - 1)
+            iy = jnp.clip(tap[..., 1], 0, ny - 1)
+            iz = jnp.clip(tap[..., 2], 0, nz - 1)
+            row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)
+            rho_hat = row[..., 3]
+            alb_hat = row[..., :3]
+            u2, rng = next_float(rng, inside)
+            accepted = jnp.logical_and(
+                inside,
+                jnp.logical_not(scale * rho_hat * inv_sig_local < u2),
+            )
+            terminated = jnp.logical_or(overran, accepted)
+            scattered = accepted
+            t = t_new
+            tracking = jnp.logical_and(
+                tracking, jnp.logical_not(terminated)
+            )
+        else:
+            u1, rng = next_float(rng, step_mask)
+            step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
+            t_new = jnp.where(step_mask, t + step, t)
+            p = o + t_new[..., None] * d
+            coord = (
+                jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
+            )
+            tap_bits, rng = next_uint32(rng, step_mask)
+            tap = _stochastic_tap(coord, tap_bits)
+            ix = jnp.clip(tap[..., 0], 0, nx - 1)
+            iy = jnp.clip(tap[..., 1], 0, ny - 1)
+            iz = jnp.clip(tap[..., 2], 0, nz - 1)
+            row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)  # (N,4)
+            rho_hat = row[..., 3]
+            alb_hat = row[..., :3]
+            u2, rng = next_float(rng, step_mask)
+            overran = t_new > max_t
+            accepted = jnp.logical_not(scale * rho_hat * inv_sigmat < u2)
+            terminated = jnp.logical_and(
+                step_mask, jnp.logical_or(overran, accepted)
+            )
+            scattered = jnp.logical_and(
+                terminated, jnp.logical_not(overran)
+            )
+            t = t_new
+            tracking = jnp.logical_and(
+                tracking, jnp.logical_not(terminated)
+            )
 
         # --- boundary event ----------------------------------------------
         boundary = jnp.logical_or(
@@ -283,6 +423,7 @@ def render_tile(
             o=o, d=d, throughput=tput, accum=accum,
             samples_done=samples_done, alive=alive, tracking=tracking,
             t=t, max_t=max_t, normal=normal, rng=rng, n_rays=n_rays,
+            brick_exit=brick_exit, inv_sig_local=inv_sig_local,
         )
 
     final = jax.lax.while_loop(cond, body, state0)

@@ -1,0 +1,149 @@
+"""Inverse rendering: recover density/albedo grids from target renders.
+
+The differentiable capability BASELINE.json adds over the reference
+(config 5: "recover a density grid from target renders, sharded over
+hosts").  Builds on the path-replay custom_vjp (models/differentiable.py)
+and the sharded gradient step (parallel/shard.py), and adds the real
+checkpoint/resume the reference lacks (SURVEY.md §5: orbax-style
+checkpointing of the optimized grid + step + PRNG state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..scene.types import RenderSettings
+from .differentiable import CameraSpec, SceneSpec, render_diff
+
+
+@dataclasses.dataclass
+class InverseConfig:
+    resolution: Tuple[int, int] = (32, 32)
+    spp: int = 64
+    learning_rate: float = 0.5
+    n_steps: int = 200
+    seed: int = 7
+    optimize_albedo: bool = False
+    clip_density: Tuple[float, float] = (0.0, 1.0)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 50
+
+
+def make_loss_fn(
+    scene_spec: SceneSpec,
+    camera_spec: CameraSpec,
+    settings: RenderSettings,
+    config: InverseConfig,
+):
+    spp = config.spp
+
+    def loss_fn(density, albedo, target, seed):
+        img = render_diff(
+            density, albedo, seed, scene_spec, camera_spec, settings,
+            config.resolution, spp,
+        ) / float(spp)
+        return jnp.mean((img - target) ** 2)
+
+    return loss_fn
+
+
+def _save_checkpoint(path, step, density, albedo, opt_state):
+    """Checkpoint via orbax when importable, else npz fallback."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp  # noqa: PLC0415
+
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(
+            os.path.join(os.path.abspath(path), f"step_{step}"),
+            {
+                "density": np.asarray(density),
+                "albedo": np.asarray(albedo),
+                "step": np.int64(step),
+            },
+            force=True,
+        )
+        ckpt.wait_until_finished()
+    except Exception:
+        np.savez(
+            os.path.join(path, f"step_{step}.npz"),
+            density=np.asarray(density),
+            albedo=np.asarray(albedo),
+            step=step,
+        )
+
+
+def load_checkpoint(path: str, step: int):
+    orbax_path = os.path.join(os.path.abspath(path), f"step_{step}")
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp  # noqa: PLC0415
+
+        ckpt = ocp.StandardCheckpointer()
+        data = ckpt.restore(orbax_path)
+        return data["density"], data["albedo"], int(data["step"])
+    data = np.load(os.path.join(path, f"step_{step}.npz"))
+    return data["density"], data["albedo"], int(data["step"])
+
+
+def run_inverse(
+    target: jnp.ndarray,  # (H, W, 3) target image (mean radiance)
+    density0: jnp.ndarray,
+    albedo0: jnp.ndarray,
+    scene_spec: SceneSpec,
+    camera_spec: CameraSpec,
+    settings: RenderSettings,
+    config: InverseConfig,
+    progress: Optional[Callable[[int, float], None]] = None,
+):
+    """Adam-optimize the density (and optionally albedo) grid to match
+    the target.  Per-step fresh sample streams (seed + step) keep the
+    gradient estimator unbiased across steps.  Returns (density, albedo,
+    losses)."""
+    loss_fn = make_loss_fn(scene_spec, camera_spec, settings, config)
+    optimizer = optax.adam(config.learning_rate)
+
+    if config.optimize_albedo:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    else:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0,)))
+
+    params = (
+        (density0, albedo0) if config.optimize_albedo else (density0,)
+    )
+    opt_state = optimizer.init(params)
+    density, albedo = density0, albedo0
+    losses = []
+    lo, hi = config.clip_density
+    for step in range(config.n_steps):
+        seed = jnp.uint32(config.seed + step * 2654435761 % (1 << 31))
+        loss, grads = grad_fn(density, albedo, target, seed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if config.optimize_albedo:
+            density, albedo = params
+            albedo = jnp.clip(albedo, 0.0, 1.0)
+            params = (density, albedo)
+        else:
+            (density,) = params
+        density = jnp.clip(density, lo, hi)
+        params = (
+            (density, albedo) if config.optimize_albedo else (density,)
+        )
+        losses.append(float(loss))
+        if progress is not None:
+            progress(step, losses[-1])
+        if (
+            config.checkpoint_dir
+            and (step + 1) % config.checkpoint_every == 0
+        ):
+            _save_checkpoint(
+                config.checkpoint_dir, step + 1, density, albedo, opt_state
+            )
+    return density, albedo, losses

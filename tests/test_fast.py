@@ -84,3 +84,46 @@ class TestFast:
         a, _ = fast.render_tile(*args)
         b, _ = fast.render_tile(*args)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTwoLevel:
+    def test_furnace_exact(self):
+        scene = blob_scene(albedo_value=1.0)
+        camera = make_camera(16, 16)
+        settings = RenderSettings.from_flags(True, bsdf_kind="null")
+        img, _ = fast.render_tile(
+            scene, camera, settings, (16, 16), jnp.zeros(2, jnp.float32),
+            (16, 16), 4, 3, 0, two_level=True,
+        )
+        np.testing.assert_allclose(np.asarray(img) / 4, 1.0, atol=1e-5)
+
+    def test_agrees_with_single_level(self):
+        """Piecewise-majorant tracking is distribution-exact: means and
+        segment counts match single-level within MC tolerance."""
+        scene = blob_scene()
+        args = make_args(scene, 24, 32)
+        a, nr1 = fast.render_tile(*args, two_level=False)
+        b, nr2 = fast.render_tile(*args, two_level=True)
+        am, bm = float(np.asarray(a).mean()), float(np.asarray(b).mean())
+        assert abs(am - bm) / am < 0.03
+        assert abs(float(nr1) - float(nr2)) / float(nr1) < 0.02
+
+    def test_brick_majorants_are_majorants(self):
+        from cudavolumerenderer_tpu.models.fast import (
+            BRICK,
+            brick_majorants,
+        )
+
+        dens = procedural.blob_volume((20, 24, 28))
+        bm = np.asarray(brick_majorants(jnp.asarray(dens)))
+        bz, by, bx = BRICK
+        nz, ny, nx = dens.shape
+        for b_z in range(bm.shape[0]):
+            for b_y in range(bm.shape[1]):
+                for b_x in range(bm.shape[2]):
+                    blk = dens[
+                        b_z * bz : min((b_z + 1) * bz + 1, nz),
+                        b_y * by : min((b_y + 1) * by + 1, ny),
+                        b_x * bx : min((b_x + 1) * bx + 1, nx),
+                    ]
+                    assert bm[b_z, b_y, b_x] >= blk.max() - 1e-6

@@ -1,0 +1,60 @@
+"""End-to-end inverse rendering: recover a perturbed density grid and
+checkpoint/resume round-trip (SURVEY.md §5 checkpoint requirement)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cudavolumerenderer_tpu.models.differentiable import (
+    CameraSpec,
+    SceneSpec,
+    render_diff,
+)
+from cudavolumerenderer_tpu.models.inverse import (
+    InverseConfig,
+    load_checkpoint,
+    run_inverse,
+)
+from cudavolumerenderer_tpu.scene.types import RenderSettings
+
+
+def setup(n=6):
+    spec = SceneSpec(scale=2.5, max_density=1.0)
+    cam = CameraSpec(res_x=8, res_y=8, fov_x_deg=0.4)
+    settings = RenderSettings.from_flags(
+        True, russian_roulette=False, max_path_length=8, bsdf_kind="null"
+    )
+    rs = np.random.RandomState(0)
+    density = jnp.asarray(
+        0.3 + 0.4 * rs.rand(n, n, n).astype(np.float32)
+    )
+    albedo = jnp.zeros((n, n, n, 4), jnp.float32)
+    return spec, cam, settings, density, albedo
+
+
+class TestInverse:
+    def test_recovers_density_direction(self, tmp_path):
+        spec, cam, settings, density, albedo = setup()
+        config = InverseConfig(
+            resolution=(8, 8), spp=96, learning_rate=0.05, n_steps=12,
+            checkpoint_dir=str(tmp_path), checkpoint_every=6,
+        )
+        target = render_diff(
+            density, albedo, 999, spec, cam, settings, (8, 8), 256
+        ) / 256.0
+
+        d0 = jnp.clip(density * 1.7, 0.0, 1.0)
+        d_fit, _, losses = run_inverse(
+            target, d0, albedo, spec, cam, settings, config
+        )
+        assert losses[-1] < losses[0] * 0.7, losses
+        # fitted grid is closer to the truth than the init
+        err0 = float(jnp.mean((d0 - density) ** 2))
+        err1 = float(jnp.mean((d_fit - density) ** 2))
+        assert err1 < err0
+
+        # checkpoint round-trip
+        d_ck, a_ck, step = load_checkpoint(str(tmp_path), 12)
+        assert step == 12
+        assert np.asarray(d_ck).shape == density.shape
