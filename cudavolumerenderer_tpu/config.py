@@ -28,6 +28,10 @@ class Kernel(enum.Enum):
     #: beyond-reference TPU-tuned scheduler (models/fast.py): lane-pinned
     #: pixels, fused albedo+density gather, stochastic trilinear filtering
     FAST_SK = "fastSK"
+    #: experimental Pallas brick-wavefront scheduler (models/brick.py)
+    BRICK_SK = "brickSK"
+    #: queue-fed fast wavefront with deferred splat flush (models/fastq.py)
+    FAST_Q = "fastQ"
 
     @classmethod
     def from_name(cls, name: str) -> "Kernel":

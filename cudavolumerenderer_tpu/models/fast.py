@@ -100,6 +100,9 @@ class FastState(NamedTuple):
     # two-level tracking extras (unused when two_level=False)
     brick_exit: jnp.ndarray  # (N,) t at which the ray leaves its brick
     inv_sig_local: jnp.ndarray  # (N,) 1/(scale*rho_max_brick)
+    # telemetry: loop iterations and lane-iteration occupancy
+    n_iters: jnp.ndarray  # () f32
+    n_busy: jnp.ndarray  # () f32 — sum over iterations of tracking lanes
 
 
 def _stochastic_tap(coord, f_bits):
@@ -119,7 +122,7 @@ def _stochastic_tap(coord, f_bits):
     jax.jit,
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
-        "two_level",
+        "two_level", "with_stats",
     ),
 )
 def render_tile(
@@ -134,6 +137,7 @@ def render_tile(
     path_id_base,
     lanes_per_pixel: int = 1,
     two_level: bool = False,
+    with_stats: bool = False,
 ):
     tw, th = tile_dim
     n_pix = tw * th
@@ -183,6 +187,8 @@ def render_tile(
         n_rays=jnp.zeros((), jnp.float32),
         brick_exit=jnp.full((n_lanes,), -1.0, jnp.float32),
         inv_sig_local=jnp.zeros((n_lanes,), jnp.float32),
+        n_iters=jnp.zeros((), jnp.float32),
+        n_busy=jnp.zeros((), jnp.float32),
     )
 
     def cond(carry):
@@ -237,7 +243,10 @@ def render_tile(
         inv_sig_local = s.inv_sig_local
 
         # --- tracking: fused gather, stochastic filter --------------------
-        step_mask = jnp.logical_and(tracking, jnp.logical_not(enters))
+        # fresh segments (enters) step immediately: in two-level mode the
+        # need_brick refresh below initializes their brick data in the
+        # same iteration; in single-level mode no setup is needed.
+        step_mask = tracking
         if two_level:
             # Two-level (sparse-leap) delta tracking: the majorant is the
             # per-brick dilated maximum, so steps are long in thin regions
@@ -424,8 +433,12 @@ def render_tile(
             samples_done=samples_done, alive=alive, tracking=tracking,
             t=t, max_t=max_t, normal=normal, rng=rng, n_rays=n_rays,
             brick_exit=brick_exit, inv_sig_local=inv_sig_local,
+            n_iters=s.n_iters + 1.0,
+            n_busy=s.n_busy + jnp.sum(tracking.astype(jnp.float32)),
         )
 
     final = jax.lax.while_loop(cond, body, state0)
     img = final.accum.reshape(m, th, tw, 3).sum(axis=0)
+    if with_stats:
+        return img, final.n_rays, final.n_iters, final.n_busy
     return img, final.n_rays

@@ -21,7 +21,7 @@ import numpy as np
 from ..config import Config, Kernel
 from ..ops.camera import Camera
 from ..scene.types import Scene
-from . import fast, naive, regeneration, streaming, wavefront_mk
+from . import brick, fast, fastq, naive, regeneration, streaming, wavefront_mk
 
 
 def _tile_array(
@@ -140,6 +140,12 @@ def make_kernel_fn(config: Config):
     k = config.kernel
     if k == Kernel.FAST_SK:
         return fast.render_tile
+    if k == Kernel.BRICK_SK:
+        return brick.render_tile
+    if k == Kernel.FAST_Q:
+        def fq(*args):
+            return fastq.render_tile(*args, n_lanes=config.n_lanes)
+        return fq
     if k == Kernel.NAIVE_SK:
         return naive.render_tile
     if k == Kernel.NAIVE_MK:

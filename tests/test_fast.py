@@ -127,3 +127,42 @@ class TestTwoLevel:
                         b_x * bx : min((b_x + 1) * bx + 1, nx),
                     ]
                     assert bm[b_z, b_y, b_x] >= blk.max() - 1e-6
+
+
+class TestFastQ:
+    def test_furnace_exact(self):
+        from cudavolumerenderer_tpu.models import fastq
+
+        scene = blob_scene(albedo_value=1.0)
+        camera = make_camera(16, 16)
+        settings = RenderSettings.from_flags(True, bsdf_kind="null")
+        for tl in (False, True):
+            img, _ = fastq.render_tile(
+                scene, camera, settings, (16, 16),
+                jnp.zeros(2, jnp.float32), (16, 16), 4, 3, 0,
+                n_lanes=256, two_level=tl,
+            )
+            np.testing.assert_allclose(np.asarray(img) / 4, 1.0, atol=1e-5)
+
+    def test_agreement_and_ray_counts(self):
+        from cudavolumerenderer_tpu.models import fastq
+
+        scene = blob_scene()
+        args = make_args(scene, 24, 32)
+        a, nra = naive.render_tile(*args)
+        b, nrb = fastq.render_tile(*args, n_lanes=576)
+        am, bm = float(np.asarray(a).mean()), float(np.asarray(b).mean())
+        assert abs(am - bm) / am < 0.02
+        assert abs(float(nra) - float(nrb)) / float(nra) < 0.02
+
+    def test_lane_count_invariance(self):
+        from cudavolumerenderer_tpu.models import fastq
+
+        scene = blob_scene()
+        args = make_args(scene, 16, 8)
+        a, _ = fastq.render_tile(*args, n_lanes=128)
+        b, _ = fastq.render_tile(*args, n_lanes=1024)
+        # same path-id streams -> identical estimates, different add order
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
