@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--platform", default=None, choices=["cpu", "tpu"],
         help="force a JAX platform (the axon plugin ignores JAX_PLATFORMS)",
     )
+    p.add_argument(
+        "--orbit", type=int, default=0, metavar="N",
+        help="with --interactive: render N frames orbiting the volume "
+        "(offline replacement for the GLFW rotate control)",
+    )
     return p
 
 
@@ -152,11 +157,39 @@ def run_test(config: Config) -> dict:
     return result
 
 
-def run_interactive(config: Config) -> None:
+def run_interactive(config: Config, orbit: int = 0) -> None:
     """Offline progressive mode: refine and dump frames periodically
     (replaces GLViewController's 0.1 s refinement budget loop,
-    InteractiveRenderer.h:319-349)."""
+    InteractiveRenderer.h:319-349).  With orbit > 0, the camera circles
+    the volume between frames — the offline stand-in for the reference's
+    mouse rotate/zoom (CameraController, InteractiveRenderer.h:241-274)."""
+    import math
+
+    import numpy as np
+
+    from .ops.camera import make_camera_look_at
+
     scene, camera = load_scene(config)
+
+    if orbit > 0:
+        radius = 100.0
+        w, h = config.resolution
+        for frame in range(orbit):
+            angle = 2.0 * math.pi * frame / orbit
+            eye = (
+                radius * math.sin(angle), 0.0, radius * math.cos(angle)
+            )
+            cam_f = make_camera_look_at(
+                eye, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), w, h, 0.7
+            )
+            renderer = create_renderer(scene, cam_f, config)
+            img = renderer.render()
+            save_png(
+                f"{config.output_name}_orbit{frame:04d}.png", tonemap(img)
+            )
+            print(f"{PRINT_PREFIX}orbit frame {frame} dumped")
+        return
+
     renderer = create_renderer(scene, camera, config)
     frame = 0
     while not renderer.image_complete():
@@ -185,7 +218,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"{PRINT_PREFIX}kernel set to {config.kernel.value}.")
     print(f"{PRINT_PREFIX}iterations set to {config.iterations}.")
     if config.interactive:
-        run_interactive(config)
+        run_interactive(config, orbit=args.orbit)
     else:
         run_test(config)
     return 0

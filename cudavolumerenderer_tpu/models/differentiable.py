@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import EPSILON
-from ..ops import aabb, camera as cam, ggx, math3, phase, woodcock
+from ..ops import aabb, camera as cam, ggx, math3, phase
 from ..ops.grid import Grid, sample
 from ..ops.rng import RngState, make_rng, next_float
 from ..scene.types import Bsdf, Medium, RenderSettings, Scene

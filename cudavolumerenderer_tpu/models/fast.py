@@ -40,7 +40,6 @@ from ..constants import EPSILON
 from ..ops import aabb, camera as cam, ggx, math3, phase
 from ..ops.rng import RngState, make_rng, next_float, next_uint32
 from ..scene.types import RenderSettings, Scene
-from . import integrator
 
 
 def make_fused_grid(scene: Scene) -> jnp.ndarray:

@@ -12,7 +12,6 @@ periodic frame dumps (per BASELINE.json).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 
 from ..constants import EPSILON
 from ..ops import aabb, camera as cam, ggx, math3, morton, phase, woodcock
-from ..ops.grid import sample
 from ..ops.rng import RngState, make_rng, next_float
 from ..scene.types import RenderSettings, Scene
 from . import integrator

@@ -23,7 +23,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import camera as cam
 from ..ops.rng import make_rng

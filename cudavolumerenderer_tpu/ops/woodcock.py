@@ -18,7 +18,7 @@ agree bit-for-bit, and we implement the generally-correct form.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,12 @@ interpolation, RawSceneBuilder.h:95-140), box [-0.5,0.5]^3, sigma_t scale
 
 from __future__ import annotations
 
-import os
 from typing import Tuple
 
 import numpy as np
 
 from ..ops.camera import Camera, make_camera
-from .types import Medium, Scene, make_medium, make_scene
+from .types import Scene, make_medium, make_scene
 
 
 def transfer_function() -> np.ndarray:
