@@ -35,6 +35,7 @@ from ..scene.types import RenderSettings, Scene
 from .fast import BRICK, _stochastic_tap, brick_majorants, make_fused_grid
 
 FLUSH_EVERY = 8
+REFILL_EVERY = 4
 
 
 class QState(NamedTuple):
@@ -166,35 +167,62 @@ def render_tile(
         )
 
         # ---- regenerate from the deterministic queue --------------------
-        # refillable: dead lanes with a free pending slot
-        refillable = jnp.logical_and(
-            jnp.logical_not(alive), pend_pix < 0
+        # Batched every REFILL_EVERY iterations (the cumsum allocator is
+        # ~as expensive as the density gather, so it must amortize); a
+        # freshly-dead lane idles at most REFILL_EVERY-1 iterations.
+        do_refill = jnp.mod(s.n_iters, REFILL_EVERY) == 0
+
+        def refill(args):
+            o, d, tput, rad, image_id, alive, tracking, rng, paths_issued = (
+                args
+            )
+            refillable = jnp.logical_and(
+                jnp.logical_not(alive), pend_pix < 0
+            )
+            rank = jnp.cumsum(refillable.astype(jnp.int32)) - 1
+            new_id = paths_issued + rank
+            takes = jnp.logical_and(refillable, new_id < n_paths)
+            paths_issued = paths_issued + jnp.sum(takes.astype(jnp.int32))
+            pid = jnp.where(takes, new_id, 0).astype(jnp.uint32)
+            image_id_new = (pid % jnp.uint32(n_pix)).astype(jnp.int32)
+            px = (image_id_new % tw).astype(jnp.float32) + tile_offset[0]
+            py = (
+                jnp.floor(image_id_new.astype(jnp.float32) / tw)
+                + tile_offset[1]
+            )
+            pixel_xy = jnp.stack([px, py], axis=-1)
+            fresh = make_rng(
+                seed, pid + jnp.asarray(path_id_base, jnp.uint32)
+            )
+            rng = RngState(
+                state=jnp.where(takes, fresh.state, rng.state),
+                inc=jnp.where(takes, fresh.inc, rng.inc),
+            )
+            o_new, d_new, rng = cam.generate_rays(
+                camera, pixel_xy, full_resolution, rng, active=takes
+            )
+            mm = takes[..., None]
+            o = jnp.where(mm, o_new, o)
+            d = jnp.where(mm, d_new, d)
+            tput = jnp.where(mm, 1.0, tput)
+            rad = jnp.where(mm, 0.0, rad)
+            image_id = jnp.where(takes, image_id_new, image_id)
+            alive = jnp.logical_or(alive, takes)
+            tracking = jnp.where(takes, False, tracking)
+            return (
+                o, d, tput, rad, image_id, alive, tracking, rng,
+                paths_issued,
+            )
+
+        (o, d, tput, rad, image_id, alive, tracking, rng, paths_issued) = (
+            jax.lax.cond(
+                do_refill,
+                refill,
+                lambda args: args,
+                (o, d, tput, rad, image_id, alive, tracking, rng,
+                 paths_issued),
+            )
         )
-        rank = jnp.cumsum(refillable.astype(jnp.int32)) - 1
-        new_id = paths_issued + rank
-        takes = jnp.logical_and(refillable, new_id < n_paths)
-        paths_issued = paths_issued + jnp.sum(takes.astype(jnp.int32))
-        pid = jnp.where(takes, new_id, 0).astype(jnp.uint32)
-        image_id_new = (pid % jnp.uint32(n_pix)).astype(jnp.int32)
-        px = (image_id_new % tw).astype(jnp.float32) + tile_offset[0]
-        py = jnp.floor(image_id_new.astype(jnp.float32) / tw) + tile_offset[1]
-        pixel_xy = jnp.stack([px, py], axis=-1)
-        fresh = make_rng(seed, pid + jnp.asarray(path_id_base, jnp.uint32))
-        rng = RngState(
-            state=jnp.where(takes, fresh.state, rng.state),
-            inc=jnp.where(takes, fresh.inc, rng.inc),
-        )
-        o_new, d_new, rng = cam.generate_rays(
-            camera, pixel_xy, full_resolution, rng, active=takes
-        )
-        mm = takes[..., None]
-        o = jnp.where(mm, o_new, o)
-        d = jnp.where(mm, d_new, d)
-        tput = jnp.where(mm, 1.0, tput)
-        rad = jnp.where(mm, 0.0, rad)
-        image_id = jnp.where(takes, image_id_new, image_id)
-        alive = jnp.logical_or(alive, takes)
-        tracking = jnp.where(takes, False, tracking)
         alive_after_regen = alive
 
         # ---- segment start ------------------------------------------------
