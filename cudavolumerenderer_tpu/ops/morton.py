@@ -43,4 +43,4 @@ def ray_sort_keys(
     """Sort key per lane: Morton code of the normalized position for live
     lanes, the max key for dead lanes."""
     p01 = (p_world - box_min) / (box_max - box_min)
-    return jnp.where(alive, morton3d(p01), DEAD_KEY)
+    return jnp.where(alive, morton3d(p01), _U32(DEAD_KEY))

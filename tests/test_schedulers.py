@@ -49,6 +49,41 @@ class TestSchedulerAgreement:
         # identical physics → identical ray counts
         assert float(nr_n) == float(nr_r) == float(nr_s)
 
+    def test_sorting_variant_agrees(self):
+        """sortingSK = streaming + periodic Morton lane reorder; the
+        permutation must not change any path's estimate."""
+        args = scene_and_args(res=8, spp=4)
+        plain, nr_p = streaming.render_tile(*args, n_lanes=128)
+        sorted_, nr_s = streaming.render_tile(
+            *args, n_lanes=128, sort_every=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(sorted_), rtol=1e-5, atol=1e-5
+        )
+        assert float(nr_p) == float(nr_s)
+
+    def test_naive_mk_agrees(self):
+        """Host-looped naiveMK with device compaction matches naiveSK."""
+        from cudavolumerenderer_tpu.models import wavefront_mk
+
+        args = scene_and_args(res=8, spp=2)
+        a, nr_a = naive.render_tile(*args)
+        b, nr_b = wavefront_mk.render_tile(*args)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+        assert float(nr_a) == float(nr_b)
+
+    def test_naive_mk_without_compaction(self):
+        from cudavolumerenderer_tpu.models import wavefront_mk
+
+        args = scene_and_args(res=8, spp=2)
+        a, _ = wavefront_mk.render_tile(*args, compaction=True)
+        b, _ = wavefront_mk.render_tile(*args, compaction=False)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
     def test_lane_count_invariance(self):
         """The wavefront pool size must not change the estimate
         (the reference analog: grid size never changes the image)."""
