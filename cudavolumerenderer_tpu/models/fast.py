@@ -49,6 +49,26 @@ def make_fused_grid(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate([alb, den], axis=-1)
 
 
+def make_fused_grid5(scene: Scene, brick_major: jnp.ndarray) -> jnp.ndarray:
+    """(Z*Y*X, 5) rows of (albedo.rgb, density, brick majorant).
+
+    The majorant channel broadcasts each brick's dilated majorant to its
+    voxels so the two-level tracker learns a new brick's majorant from
+    the same gather row as a density tap — one gather per iteration
+    instead of two (PERF.md: iterations are gather-row-bound).  A probe
+    at floor(coord) always lands in the brick containing the position
+    (bricks partition the voxel lattice), so the channel is exact."""
+    bz, by, bx = BRICK
+    nz, ny, nx = scene.medium.density.data.shape
+    up = jnp.repeat(
+        jnp.repeat(jnp.repeat(brick_major, bz, axis=0), by, axis=1),
+        bx, axis=2,
+    )[:nz, :ny, :nx]
+    return jnp.concatenate(
+        [make_fused_grid(scene), up.reshape(-1, 1)], axis=-1
+    )
+
+
 # Brick geometry for two-level tracking: (z, y, x) voxels per brick.
 # 4*4*8 = 128 entries = one vector row (matches csrc brick_pack).
 BRICK = (4, 4, 8)
@@ -147,7 +167,6 @@ def render_tile(
     n_lanes = n_pix * m
     med = scene.medium
 
-    fused = make_fused_grid(scene)
     nz, ny, nx = med.density.data.shape
     res_minus_1 = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32)
     extent = med.box_max - med.box_min
@@ -156,9 +175,11 @@ def render_tile(
     if two_level:
         bz_, by_, bx_ = BRICK
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
-        bm_flat = brick_majorants(med.density.data).reshape(-1)
+        fused = make_fused_grid5(scene, brick_majorants(med.density.data))
         brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
         brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
+    else:
+        fused = make_fused_grid(scene)
 
     lane = jnp.arange(n_lanes, dtype=jnp.uint32)
     pix = lane % jnp.uint32(n_pix)
@@ -247,12 +268,13 @@ def render_tile(
         # same iteration; in single-level mode no setup is needed.
         step_mask = tracking
         if two_level:
-            # Two-level (sparse-leap) delta tracking: the majorant is the
-            # per-brick dilated maximum, so steps are long in thin regions
-            # and empty bricks are crossed in one DDA transit with no
-            # density fetch.  Exact by memorylessness of the exponential:
-            # restarting the free flight at each brick entry with the local
-            # majorant realizes piecewise-majorant delta tracking.
+            # Two-level (sparse-leap) delta tracking with probe-fused
+            # gathers: iterations are gather-row-bound (PERF.md), so the
+            # brick majorant rides in the fused row's 5th channel and a
+            # brick entry costs one deterministic floor-voxel probe —
+            # every iteration issues exactly ONE gather row per lane,
+            # serving either the probe or the stochastic density tap.
+            # Piecewise-majorant tracking stays distribution-exact.
             epsw = jnp.max(extent) * 1e-6
             need_brick = jnp.logical_and(step_mask, t >= brick_exit)
             p_now = o + (t + epsw)[..., None] * d
@@ -265,8 +287,6 @@ def render_tile(
                 0,
                 brick_hi,
             )
-            bflat = (bi[..., 2] * nby + bi[..., 1]) * nbx + bi[..., 0]
-            rho_b = jnp.take(bm_flat, bflat, axis=0)
             up = (d > 0.0).astype(jnp.float32)
             bound_coord = (bi.astype(jnp.float32) + up) * brick_size
             bound_world = med.box_min + extent * bound_coord / res_minus_1
@@ -278,36 +298,34 @@ def render_tile(
             )
             exit_new = jnp.maximum(jnp.min(t_axes, axis=-1), t + epsw)
             brick_exit = jnp.where(need_brick, exit_new, brick_exit)
-            inv_new = jnp.where(
-                rho_b > 0.0,
-                1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
-                jnp.inf,
+            # probe voxel: floor always lands in the containing brick
+            probe_vox = jnp.clip(
+                jnp.floor(coordn).astype(jnp.int32),
+                0,
+                jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32),
             )
-            inv_sig_local = jnp.where(need_brick, inv_new, inv_sig_local)
+            probe_flat = (
+                probe_vox[..., 2] * ny + probe_vox[..., 1]
+            ) * nx + probe_vox[..., 0]
 
-            empty = jnp.logical_and(
-                step_mask, jnp.logical_not(jnp.isfinite(inv_sig_local))
+            # stepping lanes use the majorant cached by their probe
+            stepping = jnp.logical_and(
+                step_mask, jnp.logical_not(need_brick)
             )
-            stepping = jnp.logical_and(step_mask, jnp.logical_not(empty))
             u1, rng = next_float(rng, stepping)
             step = jnp.where(
                 stepping,
                 -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig_local,
                 0.0,
             )
-            t_cand = jnp.where(empty, brick_exit, t + step)
+            t_cand = t + step
             eff_exit = jnp.minimum(brick_exit, max_t)
-            crossed = jnp.logical_and(step_mask, t_cand >= eff_exit)
-            overran = jnp.logical_and(crossed, max_t <= brick_exit)
-            transit = jnp.logical_and(crossed, jnp.logical_not(overran))
-            inside = jnp.logical_and(stepping, jnp.logical_not(crossed))
-
-            t_new = jnp.where(
-                transit,
-                brick_exit,
-                jnp.where(step_mask, t_cand, t),
+            crossed_step = jnp.logical_and(stepping, t_cand >= eff_exit)
+            inside = jnp.logical_and(
+                stepping, jnp.logical_not(crossed_step)
             )
-            p = o + t_new[..., None] * d
+
+            p = o + t_cand[..., None] * d
             coord = (
                 jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
             )
@@ -316,7 +334,34 @@ def render_tile(
             ix = jnp.clip(tap[..., 0], 0, nx - 1)
             iy = jnp.clip(tap[..., 1], 0, ny - 1)
             iz = jnp.clip(tap[..., 2], 0, nz - 1)
-            row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)
+            tap_flat = (iz * ny + iy) * nx + ix
+            # the single fused gather of the iteration
+            idx = jnp.where(need_brick, probe_flat, tap_flat)
+            row = jnp.take(fused, idx, axis=0)  # (N, 5)
+
+            # probe results: cache the brick majorant
+            rho_b = row[..., 4]
+            inv_new = jnp.where(
+                rho_b > 0.0,
+                1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
+                jnp.inf,
+            )
+            inv_sig_local = jnp.where(need_brick, inv_new, inv_sig_local)
+            probe_empty = jnp.logical_and(need_brick, rho_b <= 0.0)
+
+            crossed = jnp.logical_or(crossed_step, probe_empty)
+            overran = jnp.logical_and(crossed, max_t <= brick_exit)
+            transit = jnp.logical_and(crossed, jnp.logical_not(overran))
+            t_new = jnp.where(
+                transit,
+                brick_exit,
+                jnp.where(
+                    overran,
+                    jnp.maximum(t, max_t),
+                    jnp.where(inside, t_cand, t),
+                ),
+            )
+
             rho_hat = row[..., 3]
             alb_hat = row[..., :3]
             u2, rng = next_float(rng, inside)
