@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="force a JAX platform (the axon plugin ignores JAX_PLATFORMS)",
     )
     p.add_argument(
+        "--two-level", action="store_true",
+        help="two-level sparse-leap tracking (fastSK/fastQ): faster on "
+        "sparse or high-density-scale scenes",
+    )
+    p.add_argument(
         "--orbit", type=int, default=0, metavar="N",
         help="with --interactive: render N frames orbiting the volume "
         "(offline replacement for the GLFW rotate control)",
@@ -105,6 +110,7 @@ def config_from_args(args) -> Config:
         output_name=args.output,
         seed=args.seed,
         n_lanes=args.n_lanes,
+        two_level=args.two_level,
         settings=RenderSettings.from_flags(args.mitsuba_comparable),
     )
     if config.output_name is None:

@@ -109,6 +109,9 @@ class Config:
     n_lanes: int = 1 << 17
     #: samples per launch for the naive scheduler (memory bound)
     spp_per_launch: int = 4
+    #: two-level (sparse-leap) tracking for fastSK/fastQ — wins on sparse
+    #: or high-optical-depth scenes, loses on dense small grids
+    two_level: bool = False
     settings: RenderSettings = dataclasses.field(
         default_factory=lambda: RenderSettings.from_flags(True)
     )

@@ -138,12 +138,17 @@ def make_kernel_fn(config: Config):
     6-kernel matrix, RendererFactory.h:43-113)."""
     k = config.kernel
     if k == Kernel.FAST_SK:
-        return fast.render_tile
+        def fsk(*args):
+            return fast.render_tile(*args, two_level=config.two_level)
+        return fsk
     if k == Kernel.BRICK_SK:
         return brick.render_tile
     if k == Kernel.FAST_Q:
         def fq(*args):
-            return fastq.render_tile(*args, n_lanes=config.n_lanes)
+            return fastq.render_tile(
+                *args, n_lanes=config.n_lanes,
+                two_level=config.two_level,
+            )
         return fq
     if k == Kernel.NAIVE_SK:
         return naive.render_tile
