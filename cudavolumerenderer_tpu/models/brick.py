@@ -38,10 +38,11 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import EPSILON
-from ..ops import aabb, camera as cam, ggx, math3, phase
+from ..ops import aabb, camera as cam, phase
 from ..ops.pallas import tracking as tk
-from ..ops.rng import RngState, make_rng, next_float, next_uint32
+from ..ops.rng import RngState, make_rng, next_uint32
 from ..scene.types import RenderSettings, Scene
+from . import integrator
 from .fast import _stochastic_tap, make_fused_grid
 
 MASKED = 4  # extra status: lane sat out the kernel round
@@ -214,42 +215,20 @@ def render_tile(
 
         # ---- boundary event (GGX or null) -------------------------------
         o_bound = o + d * max_t[..., None]
-        fx_, fy_, fz_ = math3.frame_from_z(normal)
-        wi_local = math3.to_local(fx_, fy_, fz_, math3.normalize(-d))
-        if settings.bsdf_kind == "ggx":
-            wo_local, weight, valid, rng = ggx.ggx_sample(
-                scene.bsdf.roughness, scene.bsdf.eta, wi_local, rng,
-                active=exited_box,
-                mitsuba_comparable=settings.mitsuba_comparable,
-            )
-            d_bsdf = math3.to_world(fx_, fy_, fz_, wo_local)
-        else:
-            weight = jnp.ones((n_lanes,), jnp.float32)
-            valid = jnp.ones((n_lanes,), bool)
-            d_bsdf = d
-        ok = jnp.logical_and(exited_box, valid)
-        o = jnp.where(
-            exited_box[..., None],
-            jnp.where(ok[..., None], o_bound + d_bsdf * EPSILON, o_bound),
-            o,
+        o_b, d_b, t_b, rng = integrator.boundary_event(
+            scene, settings, normal, o_bound, d, tput, rng, exited_box
         )
-        d = jnp.where(ok[..., None], d_bsdf, d)
-        tput = jnp.where(ok[..., None], tput * weight[..., None], tput)
+        o = jnp.where(exited_box[..., None], o_b, o)
+        d = d_b
+        tput = t_b
 
         # ---- Russian roulette -------------------------------------------
         had_event = jnp.logical_or(scattered, exited_box)
         if settings.russian_roulette:
-            p_survive = jnp.minimum(1.0, math3.max3(tput))
-            u3, rng = next_float(rng, had_event)
-            killed = jnp.logical_and(had_event, u3 > p_survive)
-            alive = jnp.logical_and(alive, jnp.logical_not(killed))
-            samples_done = jnp.where(killed, samples_done + 1, samples_done)
-            survived = jnp.logical_and(had_event, jnp.logical_not(killed))
-            tput = jnp.where(
-                survived[..., None],
-                tput / jnp.maximum(p_survive, 1e-20)[..., None],
-                tput,
+            tput, alive, killed, rng = integrator.russian_roulette(
+                tput, alive, rng, had_event
             )
+            samples_done = jnp.where(killed, samples_done + 1, samples_done)
 
         # ---- regeneration (lane-pinned pixel, next sample) --------------
         needs = jnp.logical_and(

@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import EPSILON
-from ..ops import aabb, camera as cam, ggx, math3, phase
+from ..ops import aabb, camera as cam, phase
 from ..ops.rng import RngState, make_rng, next_float, next_uint32
 from ..scene.types import RenderSettings, Scene
+from . import integrator
 from .fast import BRICK, _stochastic_tap, brick_majorants, make_fused_grid
 
 FLUSH_EVERY = 8
@@ -335,23 +336,9 @@ def render_tile(
             o + d * isect.dist[..., None],
             o + d * max_t[..., None],
         )
-        fx_, fy_, fz_ = math3.frame_from_z(normal)
-        wi_local = math3.to_local(fx_, fy_, fz_, math3.normalize(-d))
-        if settings.bsdf_kind == "ggx":
-            wo_local, weight, valid, rng = ggx.ggx_sample(
-                scene.bsdf.roughness, scene.bsdf.eta, wi_local, rng,
-                active=boundary,
-                mitsuba_comparable=settings.mitsuba_comparable,
-            )
-            d_bsdf = math3.to_world(fx_, fy_, fz_, wo_local)
-        else:
-            weight = jnp.ones((n_lanes,), jnp.float32)
-            valid = jnp.ones((n_lanes,), bool)
-            d_bsdf = d
-        ok = jnp.logical_and(boundary, valid)
-        o_b = jnp.where(ok[..., None], o_bound + d_bsdf * EPSILON, o_bound)
-        d_b = jnp.where(ok[..., None], d_bsdf, d)
-        t_b = jnp.where(ok[..., None], tput * weight[..., None], tput)
+        o_b, d_b, t_b, rng = integrator.boundary_event(
+            scene, settings, normal, o_bound, d, tput, rng, boundary
+        )
 
         # ---- scatter event ------------------------------------------------
         o_s = o + d * t[..., None] - d * EPSILON
@@ -375,15 +362,8 @@ def render_tile(
             alive, jnp.logical_or(scattered, boundary)
         )
         if settings.russian_roulette:
-            p_survive = jnp.minimum(1.0, math3.max3(tput))
-            u3, rng = next_float(rng, had_event)
-            killed = jnp.logical_and(had_event, u3 > p_survive)
-            alive = jnp.logical_and(alive, jnp.logical_not(killed))
-            survived = jnp.logical_and(had_event, jnp.logical_not(killed))
-            tput = jnp.where(
-                survived[..., None],
-                tput / jnp.maximum(p_survive, 1e-20)[..., None],
-                tput,
+            tput, alive, _, rng = integrator.russian_roulette(
+                tput, alive, rng, had_event
             )
 
         died = jnp.logical_and(

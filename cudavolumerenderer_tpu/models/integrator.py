@@ -52,6 +52,54 @@ def sample_albedo(scene: Scene, p: jnp.ndarray, settings: RenderSettings):
     return a[..., :3]
 
 
+def boundary_event(scene, settings, normal, o_bound, d, tput, rng, mask):
+    """Shared boundary event (reference: the GGX block every kernel
+    repeats, e.g. NaiveVolPTsk_kernel.cuh:53-66): local frame from the
+    cached face normal, GGX reflect/refract (weight = G1) or the null
+    pass-through BSDF; invalid microfacet samples leave direction and
+    throughput unchanged from the boundary point, exactly as the
+    reference does.  Returns (o_out, d_out, tput_out, rng) with updates
+    applied only on ``mask`` lanes (others pass through untouched)."""
+    fx, fy, fz = math3.frame_from_z(normal)
+    wi_local = math3.to_local(fx, fy, fz, math3.normalize(-d))
+    if settings.bsdf_kind == "ggx":
+        wo_local, weight, valid, rng = ggx.ggx_sample(
+            scene.bsdf.roughness, scene.bsdf.eta, wi_local, rng,
+            active=mask, mitsuba_comparable=settings.mitsuba_comparable,
+        )
+        d_bsdf = math3.to_world(fx, fy, fz, wo_local)
+    else:  # 'null' pass-through boundary (reference: Bsdf.h:6-15)
+        weight = jnp.ones(wi_local.shape[:-1], jnp.float32)
+        valid = jnp.ones(wi_local.shape[:-1], bool)
+        d_bsdf = d
+    ok = jnp.logical_and(mask, valid)
+    o_out = jnp.where(
+        mask[..., None],
+        jnp.where(ok[..., None], o_bound + d_bsdf * EPSILON, o_bound),
+        o_bound,
+    )
+    d_out = jnp.where(ok[..., None], d_bsdf, d)
+    tput_out = jnp.where(ok[..., None], tput * weight[..., None], tput)
+    return o_out, d_out, tput_out, rng
+
+
+def russian_roulette(tput, alive, rng, mask):
+    """Shared Russian roulette (reference: NaiveVolPTsk_kernel.cuh:75-84):
+    p = min(1, max(throughput.rgb)); kill with 1-p, else divide.  Draws
+    only on ``mask`` lanes.  Returns (tput, alive, killed, rng)."""
+    p_survive = jnp.minimum(1.0, math3.max3(tput))
+    u, rng = next_float(rng, mask)
+    killed = jnp.logical_and(mask, u > p_survive)
+    alive = jnp.logical_and(alive, jnp.logical_not(killed))
+    survived = jnp.logical_and(mask, jnp.logical_not(killed))
+    tput = jnp.where(
+        survived[..., None],
+        tput / jnp.maximum(p_survive, 1e-20)[..., None],
+        tput,
+    )
+    return tput, alive, killed, rng
+
+
 def bounce_step(
     scene: Scene, settings: RenderSettings, state: PathState
 ) -> PathState:
@@ -106,31 +154,8 @@ def bounce_step(
 
     # --- boundary event: GGX rough dielectric ----------------------------
     o_bound = o + d * isect.dist[..., None]
-    fx, fy, fz = math3.frame_from_z(isect.normal)
-    wi_local = math3.to_local(fx, fy, fz, math3.normalize(-d))
-    if settings.bsdf_kind == "ggx":
-        wo_local, weight, valid, rng = ggx.ggx_sample(
-            scene.bsdf.roughness,
-            scene.bsdf.eta,
-            wi_local,
-            rng,
-            active=boundary,
-            mitsuba_comparable=settings.mitsuba_comparable,
-        )
-        d_bsdf = math3.to_world(fx, fy, fz, wo_local)
-    else:  # 'null' pass-through boundary (reference: Bsdf.h:6-15)
-        weight = jnp.ones(wi_local.shape[:-1], jnp.float32)
-        valid = jnp.ones(wi_local.shape[:-1], bool)
-        d_bsdf = d
-    bsdf_ok = jnp.logical_and(boundary, valid)
-    o_boundary_out = jnp.where(
-        bsdf_ok[..., None],
-        o_bound + d_bsdf * EPSILON,
-        o_bound,
-    )
-    d_boundary_out = jnp.where(bsdf_ok[..., None], d_bsdf, d)
-    t_boundary = jnp.where(
-        bsdf_ok[..., None], tput * weight[..., None], tput
+    o_boundary_out, d_boundary_out, t_boundary, rng = boundary_event(
+        scene, settings, isect.normal, o_bound, d, tput, rng, boundary
     )
 
     # --- medium event: absorb into albedo, HG scatter --------------------
@@ -157,15 +182,7 @@ def bounce_step(
 
     # --- Russian roulette (reference: NaiveVolPTsk_kernel.cuh:75-84) -----
     if settings.russian_roulette:
-        p_survive = jnp.minimum(1.0, math3.max3(tput))
-        u, rng = next_float(rng, alive)
-        killed = jnp.logical_and(alive, u > p_survive)
-        alive = jnp.logical_and(alive, jnp.logical_not(killed))
-        tput = jnp.where(
-            alive[..., None],
-            tput / jnp.maximum(p_survive, 1e-20)[..., None],
-            tput,
-        )
+        tput, alive, _, rng = russian_roulette(tput, alive, rng, alive)
 
     return PathState(
         o=o, d=d, throughput=tput, radiance=rad, alive=alive, rng=rng,

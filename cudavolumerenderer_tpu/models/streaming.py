@@ -35,8 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import EPSILON
-from ..ops import aabb, camera as cam, ggx, math3, morton, phase, woodcock
-from ..ops.rng import RngState, make_rng, next_float
+from ..ops import aabb, camera as cam, morton, phase, woodcock
+from ..ops.rng import RngState, make_rng
 from ..scene.types import RenderSettings, Scene
 from . import integrator
 
@@ -238,28 +238,9 @@ def render_tile(
             s.o + s.d * isect.dist[..., None],
             o_bound,
         )
-        fx, fy, fz = math3.frame_from_z(normal)
-        wi_local = math3.to_local(fx, fy, fz, math3.normalize(-s.d))
-        if settings.bsdf_kind == "ggx":
-            wo_local, weight, valid, rng = ggx.ggx_sample(
-                scene.bsdf.roughness, scene.bsdf.eta, wi_local, rng,
-                active=boundary,
-                mitsuba_comparable=settings.mitsuba_comparable,
-            )
-            d_bsdf = math3.to_world(fx, fy, fz, wo_local)
-        else:
-            weight = jnp.ones((n_lanes,), jnp.float32)
-            valid = jnp.ones((n_lanes,), bool)
-            d_bsdf = s.d
-        bsdf_ok = jnp.logical_and(boundary, valid)
-        o_b_out = jnp.where(
-            bsdf_ok[..., None], o_bound + d_bsdf * EPSILON, o_bound
-        )
-        d_b_out = jnp.where(bsdf_ok[..., None], d_bsdf, s.d)
-        t_b_out = jnp.where(
-            bsdf_ok[..., None],
-            s.throughput * weight[..., None],
-            s.throughput,
+        o_b_out, d_b_out, t_b_out, rng = integrator.boundary_event(
+            scene, settings, normal, o_bound, s.d, s.throughput, rng,
+            boundary,
         )
 
         # --- phase 4b: medium scatter event -------------------------------
@@ -290,17 +271,8 @@ def render_tile(
             alive, jnp.logical_or(scattered, boundary)
         )
         if settings.russian_roulette:
-            p_survive = jnp.minimum(1.0, math3.max3(throughput))
-            u, rng = next_float(rng, had_event)
-            killed = jnp.logical_and(had_event, u > p_survive)
-            alive = jnp.logical_and(alive, jnp.logical_not(killed))
-            survived_event = jnp.logical_and(
-                had_event, jnp.logical_not(killed)
-            )
-            throughput = jnp.where(
-                survived_event[..., None],
-                throughput / jnp.maximum(p_survive, 1e-20)[..., None],
-                throughput,
+            throughput, alive, _, rng = integrator.russian_roulette(
+                throughput, alive, rng, had_event
             )
 
         died = jnp.logical_and(was_alive, jnp.logical_not(alive))
