@@ -13,10 +13,13 @@ Scenes are synthetic stand-ins with the reference workloads' shapes
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

@@ -47,7 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--trials", type=int, default=1)
     p.add_argument("-a", "--algorithm", default="cudaVolPath")
-    p.add_argument("-k", "--kernel", default="regenerationSK")
+    p.add_argument(
+        "-k", "--kernel", default="fastSK",
+        help="scheduler; the reference defaulted to its fastest "
+        "(regenerationSK) — ours is fastSK (see ARCHITECTURE.md)",
+    )
     p.add_argument(
         "--number-of-tiles", type=int, nargs="+", default=[1, 1]
     )

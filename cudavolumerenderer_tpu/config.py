@@ -96,7 +96,7 @@ class Config:
     scene_file: Optional[str] = None
     scene_type: SceneType = SceneType.AUTO
     algorithm: Algorithm = Algorithm.CUDA_VOL_PATH
-    kernel: Kernel = Kernel.REGENERATION_SK
+    kernel: Kernel = Kernel.FAST_SK
     iterations: int = 20
     resolution: Tuple[int, int] = (1024, 1024)
     n_tiles: Tuple[int, int] = (1, 1)

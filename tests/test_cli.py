@@ -16,13 +16,15 @@ class TestParsing:
     def test_defaults_match_reference(self):
         args = cli.build_parser().parse_args(["scene.xml"])
         config = cli.config_from_args(args)
-        assert config.kernel == Kernel.REGENERATION_SK  # ConfigParser default
+        # the reference defaults to its fastest scheduler
+        # (regenerationSK); ours is fastSK
+        assert config.kernel == Kernel.FAST_SK
         assert config.iterations == 20
         assert config.resolution == (1024, 1024)
         assert config.n_tiles == (1, 1)
         assert config.trials == 1
         assert config.output_name == (
-            "algorithm_cudaVolPath_kernel_regenerationSK_iter_20"
+            "algorithm_cudaVolPath_kernel_fastSK_iter_20"
         )
 
     def test_single_value_broadcast(self):
