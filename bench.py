@@ -46,6 +46,7 @@ def main() -> int:
         resolution=(res, res),
         n_tiles=(1, 1),
         n_lanes=1 << 17,
+        two_level=True,  # sparse-leap + cascade: best mode on all classes
         settings=RenderSettings.from_flags(True),
     )
     renderer = create_renderer(scene, camera, config)

@@ -62,7 +62,7 @@ def main() -> int:
         )
 
     def medical():
-        d = procedural.blob_volume((256, 256, 256), n_blobs=40)
+        d = procedural.medical_volume((256, 256, 256), n_blobs=40)
         alb = np.stack([d, 0.5 * np.ones_like(d), 1.0 - d], axis=-1)
         return make_scene(
             make_medium(d, alb, scale=100.0, max_density=1.0)

@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
         "sparse or high-density-scale scenes",
     )
     p.add_argument(
+        "--lanes-per-pixel", type=int, default=1,
+        help="fastSK: parallel sample lanes per pixel (>1 drains the "
+        "cascade sooner on deep-scattering scenes)",
+    )
+    p.add_argument(
         "--orbit", type=int, default=0, metavar="N",
         help="with --interactive: render N frames orbiting the volume "
         "(offline replacement for the GLFW rotate control)",
@@ -115,6 +120,7 @@ def config_from_args(args) -> Config:
         seed=args.seed,
         n_lanes=args.n_lanes,
         two_level=args.two_level,
+        lanes_per_pixel=args.lanes_per_pixel,
         settings=RenderSettings.from_flags(args.mitsuba_comparable),
     )
     if config.output_name is None:

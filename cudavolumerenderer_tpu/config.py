@@ -112,6 +112,10 @@ class Config:
     #: two-level (sparse-leap) tracking for fastSK/fastQ — wins on sparse
     #: or high-optical-depth scenes, loses on dense small grids
     two_level: bool = False
+    #: fastSK lanes per pixel: samples run in parallel lanes instead of
+    #: sequentially per lane; >1 drains the cascade sooner on scenes with
+    #: deep scattering (medical-class), 1 is best for short-path scenes
+    lanes_per_pixel: int = 1
     settings: RenderSettings = dataclasses.field(
         default_factory=lambda: RenderSettings.from_flags(True)
     )

@@ -1,26 +1,34 @@
 """fastSK: TPU-tuned streaming wavefront (beyond-reference scheduler).
 
 Same physics as every other scheduler, restructured around the measured
-cost model of a TPU v5e (XLA gathers ~85 M rows/s regardless of row
-width ≤4; scatters ~60 M/s; VPU ~cheap):
+cost model of a TPU v5e (benchmarks/micro_gather.py, PERF.md):
 
-1. **Lane-pinned pixels** — lane i owns pixel i % n_pix and renders its
-   samples sequentially (sample ids slot, slot+m, ...), accumulating into
-   a lane-private register.  The image is a reshape+sum at the end: the
-   per-iteration scatter-add that a dynamic work queue needs (the
-   reference's atomicVectorAdd analog) disappears entirely.
-2. **Fused albedo+density grid** — one (Z, Y, X, 4) table holding
-   (albedo.rgb, density): the tracking step's density fetch and the
-   scatter event's albedo fetch come from a single 4-channel gather row
-   (4-wide rows cost ~1.3x a scalar gather, not 4x).
-3. **Stochastic trilinear filtering** — instead of the 8-tap lerp, one
-   tap is drawn with probability equal to its trilerp weight.  For
-   Woodcock tracking this is *distribution-exact*: the acceptance test
-   rho_hat/rho_max >= u with E[rho_hat] = rho(x) thins the majorant
-   Poisson process at exactly the same rate as deterministic trilinear,
-   so transmittance and collision statistics are unchanged (not just
-   unbiased).  The accepted tap doubles as an unbiased stochastic
-   filter of the albedo at the collision point.  8x fewer gather rows.
+1. **Lane-pinned pixels** — lane i owns one pixel and renders its samples
+   sequentially, accumulating into a lane-private register.  No scatter
+   in the loop (the reference's atomicVectorAdd analog disappears).
+2. **Fused albedo+density grid** — one (Z*Y*X, 4) table of
+   (albedo.rgb, density): the tracking tap and the scatter albedo come
+   from a single gather row.
+3. **Stochastic trilinear filtering** — one tap drawn with probability
+   equal to its trilerp weight instead of the 8-tap lerp.  For Woodcock
+   tracking this is *distribution-exact*: the acceptance test thins the
+   majorant Poisson process at exactly the trilinear rate.
+4. **Cascade tail compaction** — the wavefront's while_loop pays full
+   width per iteration even when a handful of long paths remain (measured
+   busy fractions: 4-35%).  The render runs as a cascade of pools of
+   shrinking width; when the pending-lane count fits in the next pool the
+   state is argsort-compacted into it and finished lanes flush their
+   accumulators to the image.  Tail iterations then cost 4-64x less.
+   This is the TPU re-expression of streamingSK's block retirement
+   (reference: StreamingVolPTsk_kernel.cuh block-local compaction).
+5. **Two-level sparse-leap tracking** (`two_level=True`) — per-brick
+   dilated majorants in a *separate small table* (<=64k rows x 2ch
+   gathers run at ~367M rows/s vs ~90M for the big fused table), a brick
+   entry probes and takes its first Woodcock step in the same iteration,
+   and empty bricks carry a Chebyshev distance-transform leap so a run of
+   empty bricks is crossed in one iteration (the sparse-leap analog of
+   the reference's ray-marched empty-space skips; distribution-exact
+   because no event can occur in a region of zero majorant).
 
 This is not one of the reference's six strategies — it is the scheduler
 the reference would have written for this hardware; kernel name `fastSK`.
@@ -42,6 +50,35 @@ from ..ops.rng import RngState, make_rng, next_float, next_uint32
 from ..scene.types import RenderSettings, Scene
 from . import integrator
 
+# Default brick geometry for two-level tracking: (z, y, x) voxels per
+# brick.  4*4*8 = 128 voxels (matches csrc brick_pack).  pick_brick
+# grows it per scene so the majorant table stays on the fast gather path.
+BRICK = (4, 4, 8)
+
+# Keep the brick-majorant table at or under this many rows: tables this
+# small gather at ~367 M rows/s (VMEM-vectorized path) vs ~90 M above it
+# (benchmarks/micro_gather.py on v5e).
+_MAX_BRICKS = 65536
+
+# Cascade geometry: pool widths shrink by _CASCADE_FACTOR down to
+# _MIN_WIDTH; a stage exits when its pending lanes fit in the next pool.
+_CASCADE_FACTOR = 4
+_MIN_WIDTH = 4096
+
+# Distance-transform iterations: empty-space leaps up to this many
+# bricks are collapsed into one wavefront iteration.
+_LEAP_ITERS = 6
+
+# Narrow tail pools chain this many body evaluations per while-iteration
+# (amortizes loop overhead) and speculate this many Woodcock steps per
+# body evaluation (amortizes the serial gather latency chain).
+_TAIL_CHAIN = 8
+# Speculative steps per body evaluation in tail pools (1 = off).
+# Measured on v5e: the (N, K) fused-table gather costs more than the
+# serial latency it saves, so speculation stays off by default.
+_TAIL_SPEC = 1
+_TAIL_CHAIN_WIDTH = 16384
+
 
 def make_fused_grid(scene: Scene) -> jnp.ndarray:
     """(Z*Y*X, 4) rows of (albedo.rgb, density)."""
@@ -50,32 +87,23 @@ def make_fused_grid(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate([alb, den], axis=-1)
 
 
-def make_fused_grid5(scene: Scene, brick_major: jnp.ndarray) -> jnp.ndarray:
-    """(Z*Y*X, 5) rows of (albedo.rgb, density, brick majorant).
-
-    The majorant channel broadcasts each brick's dilated majorant to its
-    voxels so the two-level tracker learns a new brick's majorant from
-    the same gather row as a density tap — one gather per iteration
-    instead of two (PERF.md: iterations are gather-row-bound).  A probe
-    at floor(coord) always lands in the brick containing the position
-    (bricks partition the voxel lattice), so the channel is exact."""
-    bz, by, bx = BRICK
-    nz, ny, nx = scene.medium.density.data.shape
-    up = jnp.repeat(
-        jnp.repeat(jnp.repeat(brick_major, bz, axis=0), by, axis=1),
-        bx, axis=2,
-    )[:nz, :ny, :nx]
-    return jnp.concatenate(
-        [make_fused_grid(scene), up.reshape(-1, 1)], axis=-1
-    )
+def pick_brick(grid_shape_zyx) -> Tuple[int, int, int]:
+    """Smallest brick (tightest majorants) whose brick count fits the
+    fast gather path."""
+    nz, ny, nx = grid_shape_zyx
+    for bz, by, bx in (
+        (4, 4, 8), (8, 8, 8), (8, 8, 16), (16, 16, 16), (16, 16, 32),
+        (32, 32, 32), (32, 32, 64),
+    ):
+        n_bricks = -(-nz // bz) * -(-ny // by) * -(-nx // bx)
+        if n_bricks <= _MAX_BRICKS:
+            return (bz, by, bx)
+    return (64, 64, 64)
 
 
-# Brick geometry for two-level tracking: (z, y, x) voxels per brick.
-# 4*4*8 = 128 entries = one vector row (matches csrc brick_pack).
-BRICK = (4, 4, 8)
-
-
-def brick_majorants(density_zyx: jnp.ndarray) -> jnp.ndarray:
+def brick_majorants(
+    density_zyx: jnp.ndarray, brick: Tuple[int, int, int] = BRICK
+) -> jnp.ndarray:
     """Per-brick *dilated* majorants: max over the brick's voxels plus a
     one-voxel border on the high side, so any trilinear tap reachable
     from inside the brick is covered (taps are floor(coord)..floor+1).
@@ -83,7 +111,7 @@ def brick_majorants(density_zyx: jnp.ndarray) -> jnp.ndarray:
     Computed with reduce_window so it jits and differentiates away
     (majorants are stop-gradient by construction of the estimator).
     """
-    bz, by, bx = BRICK
+    bz, by, bx = brick
     nz, ny, nx = density_zyx.shape
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
     padded = jnp.pad(
@@ -104,25 +132,81 @@ def brick_majorants(density_zyx: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def brick_chebyshev_distance(brick_major: jnp.ndarray) -> jnp.ndarray:
+    """Chebyshev brick-distance to the nearest non-empty brick, exact up
+    to _LEAP_ITERS and capped there.  0 for non-empty bricks."""
+    big = jnp.float32(1e9)
+    dist = jnp.where(brick_major > 0.0, 0.0, big)
+    for _ in range(_LEAP_ITERS):
+        nearest = jax.lax.reduce_window(
+            dist, jnp.inf, jax.lax.min,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+        dist = jnp.minimum(dist, nearest + 1.0)
+    return jnp.minimum(dist, jnp.float32(_LEAP_ITERS + 1))
+
+
 class FastState(NamedTuple):
     o: jnp.ndarray
     d: jnp.ndarray
     throughput: jnp.ndarray
     accum: jnp.ndarray  # (N, 3) lane-private radiance sum over finished paths
-    samples_done: jnp.ndarray  # (N,) int32 completed paths per lane
-    alive: jnp.ndarray  # (N,) current path in flight
-    tracking: jnp.ndarray
+    normal: jnp.ndarray
     t: jnp.ndarray
     max_t: jnp.ndarray
-    normal: jnp.ndarray
-    rng: RngState
-    n_rays: jnp.ndarray
     # two-level tracking extras (unused when two_level=False)
     brick_exit: jnp.ndarray  # (N,) t at which the ray leaves its brick
     inv_sig_local: jnp.ndarray  # (N,) 1/(scale*rho_max_brick)
-    # telemetry: loop iterations and lane-iteration occupancy
-    n_iters: jnp.ndarray  # () f32
+    pix: jnp.ndarray  # (N,) int32 tile-local pixel id (travels with lane)
+    slot: jnp.ndarray  # (N,) int32 lanes-per-pixel slot
+    samples_done: jnp.ndarray  # (N,) int32 completed paths per lane
+    bounce: jnp.ndarray  # (N,) int32 events on the current path
+    alive: jnp.ndarray  # (N,) current path in flight
+    tracking: jnp.ndarray
+    rng: RngState
+    n_rays: jnp.ndarray
+    # telemetry: lane-iterations (rows) and tracking-lane occupancy
+    n_rows: jnp.ndarray  # () f32 — sum over iterations of pool width
     n_busy: jnp.ndarray  # () f32 — sum over iterations of tracking lanes
+
+
+def _as_f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _pack(s: FastState) -> jnp.ndarray:
+    """Per-lane state → one (N, 27) f32 matrix so cascade compaction is
+    a single row gather (scalars are threaded separately)."""
+    cols = [
+        s.o, s.d, s.throughput, s.accum, s.normal,
+        s.t[:, None], s.max_t[:, None], s.brick_exit[:, None],
+        s.inv_sig_local[:, None],
+        _as_f(s.pix)[:, None], _as_f(s.slot)[:, None],
+        _as_f(s.samples_done)[:, None], _as_f(s.bounce)[:, None],
+        _as_f(s.alive.astype(jnp.int32))[:, None],
+        _as_f(s.tracking.astype(jnp.int32))[:, None],
+        _as_f(s.rng.state.astype(jnp.int32))[:, None],
+        _as_f(s.rng.inc.astype(jnp.int32))[:, None],
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack(mat: jnp.ndarray, scalars) -> FastState:
+    as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    as_u = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    n_rays, n_rows, n_busy = scalars
+    return FastState(
+        o=mat[:, 0:3], d=mat[:, 3:6], throughput=mat[:, 6:9],
+        accum=mat[:, 9:12], normal=mat[:, 12:15],
+        t=mat[:, 15], max_t=mat[:, 16], brick_exit=mat[:, 17],
+        inv_sig_local=mat[:, 18],
+        pix=as_i(mat[:, 19]), slot=as_i(mat[:, 20]),
+        samples_done=as_i(mat[:, 21]), bounce=as_i(mat[:, 22]),
+        alive=as_i(mat[:, 23]) != 0, tracking=as_i(mat[:, 24]) != 0,
+        rng=RngState(state=as_u(mat[:, 25]), inc=as_u(mat[:, 26])),
+        n_rays=n_rays, n_rows=n_rows, n_busy=n_busy,
+    )
 
 
 def _stochastic_tap(coord, f_bits):
@@ -136,6 +220,20 @@ def _stochastic_tap(coord, f_bits):
     uz = ((f_bits >> 20) & 0x3FF).astype(jnp.float32) * (1.0 / 1024.0)
     up = jnp.stack([ux, uy, uz], axis=-1) < frac
     return i0 + up.astype(jnp.int32)
+
+
+def _cascade_widths(n_lanes: int):
+    """Pool widths for the tail-compaction cascade."""
+    widths = [n_lanes]
+    while widths[-1] > _MIN_WIDTH:
+        nxt = max(
+            _MIN_WIDTH,
+            -(-widths[-1] // _CASCADE_FACTOR // 256) * 256,
+        )
+        if nxt >= widths[-1]:
+            break
+        widths.append(nxt)
+    return widths
 
 
 @partial(
@@ -173,61 +271,70 @@ def render_tile(
     extent = med.box_max - med.box_min
     scale = med.scale
     inv_sigmat = 1.0 / (scale * med.max_density)
+    fused = make_fused_grid(scene)
     if two_level:
-        bz_, by_, bx_ = BRICK
+        bz_, by_, bx_ = pick_brick((nz, ny, nx))
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
-        fused = make_fused_grid5(scene, brick_majorants(med.density.data))
+        major = brick_majorants(med.density.data, (bz_, by_, bx_))
+        # world-space edge of the safe Chebyshev ball around a brick
+        edge_world = jnp.asarray([bx_, by_, bz_], jnp.float32) * (
+            extent / res_minus_1
+        )
+        min_edge = jnp.min(edge_world)
+        cheb = brick_chebyshev_distance(major)
+        # safe leap beyond the brick exit: (D-1) empty rings, shaved by an
+        # epsilon so float rounding cannot poke past the guarantee
+        leap = jnp.maximum(cheb - 1.0, 0.0) * min_edge * (1.0 - 1e-6)
+        brick_tab = jnp.stack(
+            [major.reshape(-1), leap.reshape(-1)], axis=-1
+        )  # (B, 2): fast-path gather rows
         brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
         brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
-    else:
-        fused = make_fused_grid(scene)
 
     lane = jnp.arange(n_lanes, dtype=jnp.uint32)
-    pix = lane % jnp.uint32(n_pix)
-    slot = lane // jnp.uint32(n_pix)
-    px = (pix % jnp.uint32(tw)).astype(jnp.float32) + tile_offset[0]
-    py = jnp.floor(pix.astype(jnp.float32) / tw) + tile_offset[1]
-    pixel_xy = jnp.stack([px, py], axis=-1)
+    pix0 = (lane % jnp.uint32(n_pix)).astype(jnp.int32)
+    slot0 = (lane // jnp.uint32(n_pix)).astype(jnp.int32)
 
-    def path_id_of(samples_done):
-        s = slot + jnp.uint32(m) * samples_done.astype(jnp.uint32)
-        return s * jnp.uint32(n_pix) + pix + jnp.asarray(
+    def path_id_of(pix, slot, samples_done):
+        s = slot.astype(jnp.uint32) + jnp.uint32(m) * samples_done.astype(
+            jnp.uint32
+        )
+        return s * jnp.uint32(n_pix) + pix.astype(jnp.uint32) + jnp.asarray(
             path_id_base, jnp.uint32
         )
 
     zero3 = jnp.zeros((n_lanes, 3), jnp.float32)
+    zero1 = jnp.zeros((n_lanes,), jnp.float32)
     state0 = FastState(
         o=zero3, d=zero3.at[:, 2].set(1.0), throughput=jnp.ones_like(zero3),
-        accum=zero3, samples_done=jnp.zeros((n_lanes,), jnp.int32),
+        accum=zero3, normal=zero3,
+        t=zero1, max_t=zero1,
+        brick_exit=zero1 - 1.0, inv_sig_local=zero1,
+        pix=pix0, slot=slot0,
+        samples_done=jnp.zeros((n_lanes,), jnp.int32),
+        bounce=jnp.zeros((n_lanes,), jnp.int32),
         alive=jnp.zeros((n_lanes,), bool),
         tracking=jnp.zeros((n_lanes,), bool),
-        t=jnp.zeros((n_lanes,), jnp.float32),
-        max_t=jnp.zeros((n_lanes,), jnp.float32),
-        normal=zero3,
         rng=make_rng(seed, jnp.zeros((n_lanes,), jnp.uint32)),
         n_rays=jnp.zeros((), jnp.float32),
-        brick_exit=jnp.full((n_lanes,), -1.0, jnp.float32),
-        inv_sig_local=jnp.zeros((n_lanes,), jnp.float32),
-        n_iters=jnp.zeros((), jnp.float32),
+        n_rows=jnp.zeros((), jnp.float32),
         n_busy=jnp.zeros((), jnp.float32),
     )
 
-    def cond(carry):
-        s = carry
-        return jnp.any(
-            jnp.logical_or(s.alive, s.samples_done < spp_per_lane)
-        )
-
-    def body(s):
-        # --- regenerate: next sample of the SAME pixel ------------------
+    def body(s, spec_k=1):
+        width = s.alive.shape[0]
+        # --- regenerate: next sample of the lane's pixel -----------------
         needs = jnp.logical_and(
             jnp.logical_not(s.alive), s.samples_done < spp_per_lane
         )
-        fresh = make_rng(seed, path_id_of(s.samples_done))
+        fresh = make_rng(seed, path_id_of(s.pix, s.slot, s.samples_done))
         rng = RngState(
             state=jnp.where(needs, fresh.state, s.rng.state),
             inc=jnp.where(needs, fresh.inc, s.rng.inc),
         )
+        px = (s.pix % tw).astype(jnp.float32) + tile_offset[0]
+        py = jnp.floor(s.pix.astype(jnp.float32) / tw) + tile_offset[1]
+        pixel_xy = jnp.stack([px, py], axis=-1)
         o_new, d_new, rng = cam.generate_rays(
             camera, pixel_xy, full_resolution, rng, active=needs
         )
@@ -237,6 +344,7 @@ def render_tile(
         tput = jnp.where(mm, 1.0, s.throughput)
         alive = jnp.logical_or(s.alive, needs)
         tracking = jnp.where(needs, False, s.tracking)
+        bounce = jnp.where(needs, 0, s.bounce)
 
         # --- segment start: AABB + classification ------------------------
         need_isect = jnp.logical_and(alive, jnp.logical_not(tracking))
@@ -263,21 +371,18 @@ def render_tile(
         brick_exit = jnp.where(enters, -1.0, s.brick_exit)
         inv_sig_local = s.inv_sig_local
 
-        # --- tracking: fused gather, stochastic filter --------------------
-        # fresh segments (enters) step immediately: in two-level mode the
-        # need_brick refresh below initializes their brick data in the
-        # same iteration; in single-level mode no setup is needed.
-        step_mask = tracking
+        # --- tracking ------------------------------------------------------
         if two_level:
-            # Two-level (sparse-leap) delta tracking with probe-fused
-            # gathers: iterations are gather-row-bound (PERF.md), so the
-            # brick majorant rides in the fused row's 5th channel and a
-            # brick entry costs one deterministic floor-voxel probe —
-            # every iteration issues exactly ONE gather row per lane,
-            # serving either the probe or the stochastic density tap.
-            # Piecewise-majorant tracking stays distribution-exact.
+            # Two-level (sparse-leap) delta tracking, split-table edition:
+            # brick probes hit the small fast-path (B, 2) majorant+leap
+            # table, density taps hit the (V, 4) fused table, and a brick
+            # entry probes AND takes its first Woodcock step in the same
+            # iteration.  Empty bricks leap (D-1) brick-edges at once via
+            # the distance-transform channel.  Piecewise-majorant
+            # tracking stays distribution-exact; per-lane draw sequences
+            # are identical to the fused-probe round-1 implementation.
             epsw = jnp.max(extent) * 1e-6
-            need_brick = jnp.logical_and(step_mask, t >= brick_exit)
+            need_brick = jnp.logical_and(tracking, t >= brick_exit)
             p_now = o + (t + epsw)[..., None] * d
             coordn = (
                 jnp.clip((p_now - med.box_min) / extent, 0.0, 1.0)
@@ -288,95 +393,184 @@ def render_tile(
                 0,
                 brick_hi,
             )
+            bflat = (bi[..., 2] * nby + bi[..., 1]) * nbx + bi[..., 0]
+            row_b = jnp.take(
+                brick_tab, jnp.where(need_brick, bflat, 0), axis=0
+            )  # (N, 2) — small-table fast-path gather
+            rho_b = row_b[..., 0]
+            leap_b = row_b[..., 1]
+
+            # fresh DDA brick exit for probing lanes
             up = (d > 0.0).astype(jnp.float32)
             bound_coord = (bi.astype(jnp.float32) + up) * brick_size
             bound_world = med.box_min + extent * bound_coord / res_minus_1
-            tiny_d = jnp.abs(d) > 1e-12
+            okd = jnp.abs(d) > 1e-12
             t_axes = jnp.where(
-                tiny_d,
-                (bound_world - o) / jnp.where(tiny_d, d, 1.0),
-                jnp.inf,
+                okd, (bound_world - o) / jnp.where(okd, d, 1.0), jnp.inf
             )
             exit_new = jnp.maximum(jnp.min(t_axes, axis=-1), t + epsw)
             brick_exit = jnp.where(need_brick, exit_new, brick_exit)
-            # probe voxel: floor always lands in the containing brick
-            probe_vox = jnp.clip(
-                jnp.floor(coordn).astype(jnp.int32),
-                0,
-                jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32),
-            )
-            probe_flat = (
-                probe_vox[..., 2] * ny + probe_vox[..., 1]
-            ) * nx + probe_vox[..., 0]
-
-            # stepping lanes use the majorant cached by their probe
-            stepping = jnp.logical_and(
-                step_mask, jnp.logical_not(need_brick)
-            )
-            u1, rng = next_float(rng, stepping)
-            step = jnp.where(
-                stepping,
-                -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig_local,
-                0.0,
-            )
-            t_cand = t + step
-            eff_exit = jnp.minimum(brick_exit, max_t)
-            crossed_step = jnp.logical_and(stepping, t_cand >= eff_exit)
-            inside = jnp.logical_and(
-                stepping, jnp.logical_not(crossed_step)
-            )
-
-            p = o + t_cand[..., None] * d
-            coord = (
-                jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
-            )
-            tap_bits, rng = next_uint32(rng, inside)
-            tap = _stochastic_tap(coord, tap_bits)
-            ix = jnp.clip(tap[..., 0], 0, nx - 1)
-            iy = jnp.clip(tap[..., 1], 0, ny - 1)
-            iz = jnp.clip(tap[..., 2], 0, nz - 1)
-            tap_flat = (iz * ny + iy) * nx + ix
-            # the single fused gather of the iteration
-            idx = jnp.where(need_brick, probe_flat, tap_flat)
-            row = jnp.take(fused, idx, axis=0)  # (N, 5)
-
-            # probe results: cache the brick majorant
-            rho_b = row[..., 4]
             inv_new = jnp.where(
                 rho_b > 0.0,
                 1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
                 jnp.inf,
             )
             inv_sig_local = jnp.where(need_brick, inv_new, inv_sig_local)
-            probe_empty = jnp.logical_and(need_brick, rho_b <= 0.0)
 
-            crossed = jnp.logical_or(crossed_step, probe_empty)
-            overran = jnp.logical_and(crossed, max_t <= brick_exit)
-            transit = jnp.logical_and(crossed, jnp.logical_not(overran))
-            t_new = jnp.where(
-                transit,
-                brick_exit,
+            # empty bricks: leap the whole guaranteed-empty Chebyshev ball
+            probe_empty = jnp.logical_and(need_brick, rho_b <= 0.0)
+            t_leap = jnp.maximum(exit_new, t + leap_b)
+            overran_empty = jnp.logical_and(probe_empty, t_leap >= max_t)
+
+            # every lane with a live finite majorant steps this iteration
+            # (fresh probes included — probe+step fusion)
+            stepping = jnp.logical_and(
+                tracking, jnp.logical_not(probe_empty)
+            )
+            eff_exit = jnp.minimum(brick_exit, max_t)
+
+            def clipped_tap_flat(t_at, bits):
+                p_at = o + t_at[..., None] * d
+                coord = (
+                    jnp.clip((p_at - med.box_min) / extent, 0.0, 1.0)
+                    * res_minus_1
+                )
+                tap = _stochastic_tap(coord, bits)
+                ix = jnp.clip(tap[..., 0], 0, nx - 1)
+                iy = jnp.clip(tap[..., 1], 0, ny - 1)
+                iz = jnp.clip(tap[..., 2], 0, nz - 1)
+                return (iz * ny + iy) * nx + ix
+
+            if spec_k == 1:
+                u1, rng = next_float(rng, stepping)
+                step = jnp.where(
+                    stepping,
+                    -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig_local,
+                    0.0,
+                )
+                t_cand = t + step
+                crossed_step = jnp.logical_and(
+                    stepping, t_cand >= eff_exit
+                )
+                inside = jnp.logical_and(
+                    stepping, jnp.logical_not(crossed_step)
+                )
+                tap_bits, rng = next_uint32(rng, inside)
+                tap_flat = clipped_tap_flat(t_cand, tap_bits)
+                row = jnp.take(
+                    fused, jnp.where(inside, tap_flat, 0), axis=0
+                )  # (N, 4)
+                rho_hat = row[..., 3]
+                alb_hat = row[..., :3]
+                u2, rng = next_float(rng, inside)
+                accepted = jnp.logical_and(
+                    inside,
+                    jnp.logical_not(scale * rho_hat * inv_sig_local < u2),
+                )
+                advance = inside
+                t_adv = t_cand
+            else:
+                # Speculative multi-step tracking (tail pools): draw
+                # spec_k majorant steps at once, fetch all taps in ONE
+                # gather (the serial probe→tap→probe latency chain is
+                # what bounds narrow tail iterations), then keep the
+                # prefix up to the first acceptance or brick crossing.
+                # The thinned steps are iid, so taking that prefix is
+                # the same stochastic process — distribution-exact.
+                t_run = t
+                cands = []
+                for _ in range(spec_k):
+                    u1, rng = next_float(rng, stepping)
+                    t_run = t_run + jnp.where(
+                        stepping,
+                        -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig_local,
+                        0.0,
+                    )
+                    cands.append(t_run)
+                t_cands = jnp.stack(cands, axis=-1)  # (N, K)
+                validj = jnp.logical_and(
+                    stepping[..., None], t_cands < eff_exit[..., None]
+                )
+                flats = []
+                for j in range(spec_k):
+                    tap_bits, rng = next_uint32(rng, validj[..., j])
+                    flats.append(
+                        clipped_tap_flat(t_cands[..., j], tap_bits)
+                    )
+                idxk = jnp.stack(flats, axis=-1)  # (N, K)
+                rows = jnp.take(
+                    fused, jnp.where(validj, idxk, 0), axis=0
+                )  # (N, K, 4)
+                u2s = []
+                for j in range(spec_k):
+                    u2, rng = next_float(rng, validj[..., j])
+                    u2s.append(u2)
+                u2k = jnp.stack(u2s, axis=-1)
+                acceptj = jnp.logical_and(
+                    validj,
+                    jnp.logical_not(
+                        scale * rows[..., 3] * inv_sig_local[..., None]
+                        < u2k
+                    ),
+                )
+                stopj = jnp.logical_or(
+                    acceptj, jnp.logical_not(validj)
+                )
+                j0 = jnp.argmax(stopj, axis=-1)
+                any_stop = jnp.any(stopj, axis=-1)
+                row0 = jnp.take_along_axis(
+                    rows, j0[..., None, None], axis=1
+                )[:, 0, :]
+                t0v = jnp.take_along_axis(t_cands, j0[..., None], axis=1)[
+                    :, 0
+                ]
+                acc0 = jnp.take_along_axis(acceptj, j0[..., None], axis=1)[
+                    :, 0
+                ]
+                accepted = jnp.logical_and(
+                    stepping, jnp.logical_and(any_stop, acc0)
+                )
+                crossed_step = jnp.logical_and(
+                    stepping,
+                    jnp.logical_and(any_stop, jnp.logical_not(acc0)),
+                )
+                alb_hat = row0[..., :3]
+                # no stop within K valid steps: advance and keep tracking
+                advance = jnp.logical_and(
+                    stepping,
+                    jnp.logical_or(accepted, jnp.logical_not(any_stop)),
+                )
+                t_adv = jnp.where(any_stop, t0v, t_cands[..., -1])
+
+            overran_step = jnp.logical_and(
+                crossed_step, max_t <= brick_exit
+            )
+            transit = jnp.logical_and(
+                crossed_step, jnp.logical_not(overran_step)
+            )
+            t = jnp.where(
+                probe_empty,
+                jnp.minimum(t_leap, max_t),
                 jnp.where(
-                    overran,
-                    jnp.maximum(t, max_t),
-                    jnp.where(inside, t_cand, t),
+                    transit,
+                    brick_exit,
+                    jnp.where(
+                        overran_step,
+                        jnp.maximum(t, max_t),
+                        jnp.where(advance, t_adv, t),
+                    ),
                 ),
             )
-
-            rho_hat = row[..., 3]
-            alb_hat = row[..., :3]
-            u2, rng = next_float(rng, inside)
-            accepted = jnp.logical_and(
-                inside,
-                jnp.logical_not(scale * rho_hat * inv_sig_local < u2),
-            )
+            # leaping lanes re-probe wherever they landed
+            brick_exit = jnp.where(probe_empty, -1.0, brick_exit)
+            overran = jnp.logical_or(overran_step, overran_empty)
             terminated = jnp.logical_or(overran, accepted)
             scattered = accepted
-            t = t_new
             tracking = jnp.logical_and(
                 tracking, jnp.logical_not(terminated)
             )
         else:
+            step_mask = tracking
             u1, rng = next_float(rng, step_mask)
             step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
             t_new = jnp.where(step_mask, t + step, t)
@@ -436,29 +630,101 @@ def render_tile(
             jnp.where(boundary[..., None], t_b, tput),
         )
 
-        # --- Russian roulette after events --------------------------------
+        # --- path-length cap + Russian roulette after events --------------
         had_event = jnp.logical_and(
             alive, jnp.logical_or(scattered, boundary)
         )
+        bounce = jnp.where(had_event, bounce + 1, bounce)
+        # the reference bounds every path at max_path_length events
+        # (Config.h PathTracingConfig; the for-loop bound in every kernel)
+        capped = jnp.logical_and(
+            alive, bounce >= settings.max_path_length
+        )
+        alive = jnp.logical_and(alive, jnp.logical_not(capped))
+        tracking = jnp.logical_and(tracking, jnp.logical_not(capped))
+        samples_done = jnp.where(capped, samples_done + 1, samples_done)
         if settings.russian_roulette:
+            rr_mask = jnp.logical_and(
+                had_event, jnp.logical_not(capped)
+            )
             tput, alive, killed, rng = integrator.russian_roulette(
-                tput, alive, rng, had_event
+                tput, alive, rng, rr_mask
             )
             samples_done = jnp.where(
                 killed, samples_done + 1, samples_done
             )
 
         return FastState(
-            o=o, d=d, throughput=tput, accum=accum,
-            samples_done=samples_done, alive=alive, tracking=tracking,
-            t=t, max_t=max_t, normal=normal, rng=rng, n_rays=n_rays,
+            o=o, d=d, throughput=tput, accum=accum, normal=normal,
+            t=t, max_t=max_t,
             brick_exit=brick_exit, inv_sig_local=inv_sig_local,
-            n_iters=s.n_iters + 1.0,
+            pix=s.pix, slot=s.slot,
+            samples_done=samples_done, bounce=bounce,
+            alive=alive, tracking=tracking,
+            rng=rng, n_rays=n_rays,
+            n_rows=s.n_rows + float(width),
             n_busy=s.n_busy + jnp.sum(tracking.astype(jnp.float32)),
         )
 
-    final = jax.lax.while_loop(cond, body, state0)
-    img = final.accum.reshape(m, th, tw, 3).sum(axis=0)
+    def pending_count(s):
+        pending = jnp.logical_or(s.alive, s.samples_done < spp_per_lane)
+        return jnp.sum(pending.astype(jnp.int32))
+
+    # --- cascade: shrink the pool as the tail empties ---------------------
+    widths = _cascade_widths(n_lanes)
+    img = jnp.zeros((n_pix, 3), jnp.float32)
+    state = state0
+    stage_rows = []  # per-stage lane-rows (with_stats diagnostics)
+    for stage, width in enumerate(widths):
+        last = stage == len(widths) - 1
+        thresh = 0 if last else widths[stage + 1]
+        # narrow tail pools amortize per-iteration loop overhead by
+        # chaining several complete body evaluations per while-iteration
+        # (each is a full, correct iteration; masked draws keep per-path
+        # streams identical, extra evaluations past the exit condition
+        # are no-ops)
+        tail = len(widths) > 1 and width <= _TAIL_CHAIN_WIDTH
+        k_chain = _TAIL_CHAIN if tail else 1
+        k_spec = _TAIL_SPEC if (tail and two_level) else 1
+
+        def chained(s, _k=k_chain, _spec=k_spec):
+            for _ in range(_k):
+                s = body(s, spec_k=_spec)
+            return s
+
+        def cond(s, _thresh=thresh):
+            return pending_count(s) > _thresh
+
+        rows_before = state.n_rows
+        state = jax.lax.while_loop(cond, chained, state)
+        stage_rows.append(state.n_rows - rows_before)
+        if last:
+            # all lanes finished: flush every accumulator
+            img = img.at[state.pix].add(state.accum, mode="drop")
+        else:
+            # flush finished lanes, compact pending ones into the next pool
+            pending = jnp.logical_or(
+                state.alive, state.samples_done < spp_per_lane
+            )
+            flush_idx = jnp.where(pending, n_pix, state.pix)  # n_pix drops
+            img = img.at[flush_idx].add(state.accum, mode="drop")
+            # flushed lanes may survive the cut when pending < next width:
+            # zero their accumulators so nothing flushes twice
+            state = state._replace(
+                accum=jnp.where(pending[..., None], state.accum, 0.0)
+            )
+            order = jnp.argsort(
+                jnp.logical_not(pending).astype(jnp.int32)
+            )[: widths[stage + 1]]
+            packed = jnp.take(_pack(state), order, axis=0)
+            state = _unpack(
+                packed, (state.n_rays, state.n_rows, state.n_busy)
+            )
+
+    img = img.reshape(th, tw, 3)
     if with_stats:
-        return img, final.n_rays, final.n_iters, final.n_busy
-    return img, final.n_rays
+        return (
+            img, state.n_rays, state.n_rows, state.n_busy,
+            jnp.stack(stage_rows),
+        )
+    return img, state.n_rays

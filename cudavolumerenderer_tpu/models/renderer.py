@@ -139,7 +139,10 @@ def make_kernel_fn(config: Config):
     k = config.kernel
     if k == Kernel.FAST_SK:
         def fsk(*args):
-            return fast.render_tile(*args, two_level=config.two_level)
+            return fast.render_tile(
+                *args, two_level=config.two_level,
+                lanes_per_pixel=config.lanes_per_pixel,
+            )
         return fsk
     if k == Kernel.BRICK_SK:
         return brick.render_tile

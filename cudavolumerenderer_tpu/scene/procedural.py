@@ -62,6 +62,21 @@ def smoke_volume(resolution=(128, 128, 50), seed: int = 3) -> np.ndarray:
     return field.astype(np.float32)
 
 
+def medical_volume(
+    resolution=(256, 256, 256), n_blobs: int = 40, seed: int = 7
+) -> np.ndarray:
+    """CT-like density with the statistics the real MHD pipeline
+    produces: the reference's converter min-max normalizes and applies
+    smoothstep(0.2, 0.6) (scripts/convert-mhd/mhd_to_vdb.py:7-10, same
+    transform as scene/mhd.py), which zeroes soft tissue/air below the
+    0.2 threshold — most of a manix/artifix volume is exactly empty."""
+    field = blob_volume(resolution, n_blobs=n_blobs, seed=seed)
+    lo, hi = float(field.min()), float(field.max())
+    x = (field - lo) / max(hi - lo, 1e-30)
+    t = np.clip((x - 0.2) / 0.4, 0.0, 1.0)
+    return (t * t * (3.0 - 2.0 * t)).astype(np.float32)
+
+
 def write_raw_uchar(path: str, density01: np.ndarray) -> None:
     """Write a volume as the 8-bit raw format the RawSceneBuilder reads
     (reference: RawSceneBuilder.h:143-160 — plain bytes, x-fastest)."""
