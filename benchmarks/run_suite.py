@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--tiling", action="store_true",
+        help="reproduce the thesis Table 4.2 tiling protocol "
+        "(1920x1920, 5 iterations, tile grids 1..64 per side)",
+    )
     parser.add_argument("--out", default="benchmarks/results.json")
     parser.add_argument(
         "--kernels",
@@ -67,6 +72,42 @@ def main() -> int:
         return make_scene(
             make_medium(d, alb, scale=100.0, max_density=1.0)
         )
+
+    if args.tiling:
+        # Thesis Table 4.2 protocol: fixed 1920x1920 image, 5 iterations
+        # (18.4M paths at 1 tile), sweep the tile grid; report seconds.
+        # Run on the flagship scheduler (fastSK two-level).
+        scene = bucky()
+        res, iters = 1920, 5
+        camera = make_camera(res, res)
+        # (64,64) = 4096 host dispatches is tunnel-RTT-bound in this
+        # environment (the reference's own 64x64 row is similarly
+        # dispatch-degenerate: 98-224 s); stop at 32x32.
+        results = {}
+        for nt in (1, 2, 4, 8, 32):
+            config = Config(
+                kernel=Kernel.FAST_SK,
+                iterations=iters,
+                resolution=(res, res),
+                n_tiles=(nt, nt),
+                two_level=True,
+                settings=RenderSettings.from_flags(True),
+            )
+            renderer = create_renderer(scene, camera, config)
+            renderer.render()  # warmup/compile for this tile shape
+            t0 = time.time()
+            renderer.render()
+            dt = time.time() - t0
+            key = f"tiling1920/fastSK-2L/{nt}x{nt}"
+            results[key] = {
+                "time_s": round(dt, 3),
+                "paths_per_tile": (res // nt + (res % nt > 0)) ** 2 * iters,
+            }
+            print(f"{key}: {dt:.2f}s", flush=True)
+            with open(args.out, "w") as f:  # incremental (timeout-safe)
+                json.dump(results, f, indent=2)
+        print(f"wrote {args.out}")
+        return 0
 
     scenes = [
         ("bucky32", bucky, 256, 20),

@@ -48,9 +48,9 @@ import jax.numpy as jnp
 from ..constants import EPSILON
 from ..ops import aabb, camera as cam, ggx, math3, phase
 from ..ops.grid import Grid, sample
-from ..ops.rng import RngState, make_rng, next_float
+from ..ops.rng import RngState, make_rng, next_float, next_uint32
 from ..scene.types import Bsdf, Medium, RenderSettings, Scene
-from . import integrator, naive
+from . import fast, integrator, naive
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +139,21 @@ def _trilerp_taps(grid_shape_zyx, box_min, box_max, p_world):
                 )
                 taps.append(((iz * ny + iy) * nx + ix, w))
     return taps
+
+
+def _build_brick_tab(density_data):
+    """Two-level majorant tables for the differentiable pass: dilated
+    per-brick majorants with multiplicative+additive *headroom* so the
+    null-collision score term -1/(rho_maxb - rho) stays bounded at the
+    brick's argmax voxel (any valid majorant keeps the estimator exact),
+    plus the Chebyshev empty-space leap channel.  Majorants are
+    stop-gradient by construction of the estimator."""
+    dd = jax.lax.stop_gradient(density_data)
+    brick = fast.pick_brick(dd.shape)
+    major = fast.brick_majorants(dd, brick)
+    major = jnp.where(major > 0.0, major * 1.05 + 1e-4, 0.0)
+    cheb = fast.brick_chebyshev_distance(major)
+    return major, cheb, brick
 
 
 class _ReplayState(NamedTuple):
@@ -292,8 +307,224 @@ def _replay_bounce(scene, settings, st, s_lane, g_lane, record):
     )
 
 
+def _replay_bounce_2l(scene, settings, st, s_lane, g_lane, record, tables):
+    """Two-level, stochastic-tap variant of _replay_bounce: per-brick
+    dilated majorants (with score headroom) + Chebyshev empty-space
+    leaps + single-tap stochastic trilinear filtering — the fastSK
+    estimator family (models/fast.py), made differentiable.  Adjoints
+    scatter to ONE tap per density evaluation instead of eight, and the
+    local-majorant null score uses the same brick majorant the sampler
+    used.  Forward and backward run this same function, so the replay
+    is draw-exact by construction."""
+    med = scene.medium
+    major, cheb, brick = tables
+    bz_, by_, bx_ = brick
+    nz, ny, nx = med.density.data.shape
+    nbz, nby, nbx = major.shape
+    density_flat = med.density.data.reshape(-1)
+    alb_shape = med.albedo.data.shape
+    const_alb = all(s == 1 for s in alb_shape[:3])
+    albedo_flat = med.albedo.data.reshape(-1, alb_shape[-1])
+    res_minus_1 = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32)
+    extent = med.box_max - med.box_min
+    scale = med.scale
+    brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
+    brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
+    edge_world = brick_size * (extent / res_minus_1)
+    min_edge = jnp.min(edge_world)
+    major_flat = major.reshape(-1)
+    leap_flat = (
+        jnp.maximum(cheb.reshape(-1) - 1.0, 0.0) * min_edge * (1.0 - 1e-6)
+    )
+
+    o, d, tput, rad, alive, rng = (
+        st.o, st.d, st.throughput, st.radiance, st.alive, st.rng
+    )
+    d_density, d_albedo = st.d_density, st.d_albedo
+
+    isect = aabb.aabb_intersect(med.box_min, med.box_max, o, d)
+    miss = jnp.logical_and(alive, jnp.logical_not(isect.hit))
+    rad = jnp.where(miss[..., None], rad + tput * scene.le, rad)
+    alive = jnp.logical_and(alive, isect.hit)
+    in_medium = jnp.logical_and(alive, isect.inside_volume)
+    max_t = isect.dist
+    epsw = jnp.max(extent) * 1e-6
+
+    n_lanes = o.shape[0]
+    zero1 = jnp.zeros((n_lanes,), jnp.float32)
+
+    def wcond(c):
+        return jnp.any(c[0])
+
+    def wbody(c):
+        (running, t, brick_exit, inv_sig, rho_loc, scattered, tap_saved,
+         rng_c, dd, da) = c
+        need_brick = jnp.logical_and(running, t >= brick_exit)
+        p_now = o + (t + epsw)[..., None] * d
+        coordn = (
+            jnp.clip((p_now - med.box_min) / extent, 0.0, 1.0)
+            * res_minus_1
+        )
+        bi = jnp.clip(
+            jnp.floor(coordn / brick_size).astype(jnp.int32), 0, brick_hi
+        )
+        bflat = (bi[..., 2] * nby + bi[..., 1]) * nbx + bi[..., 0]
+        idx_b = jnp.where(need_brick, bflat, 0)
+        rho_b = jnp.take(major_flat, idx_b, axis=0)
+        leap_b = jnp.take(leap_flat, idx_b, axis=0)
+        up = (d > 0.0).astype(jnp.float32)
+        bound_coord = (bi.astype(jnp.float32) + up) * brick_size
+        bound_world = med.box_min + extent * bound_coord / res_minus_1
+        okd = jnp.abs(d) > 1e-12
+        t_axes = jnp.where(
+            okd, (bound_world - o) / jnp.where(okd, d, 1.0), jnp.inf
+        )
+        exit_new = jnp.maximum(jnp.min(t_axes, axis=-1), t + epsw)
+        brick_exit = jnp.where(need_brick, exit_new, brick_exit)
+        inv_sig = jnp.where(
+            need_brick,
+            jnp.where(
+                rho_b > 0.0,
+                1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
+                jnp.inf,
+            ),
+            inv_sig,
+        )
+        rho_loc = jnp.where(need_brick, rho_b, rho_loc)
+
+        probe_empty = jnp.logical_and(need_brick, rho_b <= 0.0)
+        t_leap = jnp.maximum(exit_new, t + leap_b)
+        overran_empty = jnp.logical_and(probe_empty, t_leap >= max_t)
+
+        stepping = jnp.logical_and(running, jnp.logical_not(probe_empty))
+        u1, rng_c = next_float(rng_c, stepping)
+        step = jnp.where(
+            stepping,
+            -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig,
+            0.0,
+        )
+        t_cand = t + step
+        eff_exit = jnp.minimum(brick_exit, max_t)
+        crossed = jnp.logical_and(stepping, t_cand >= eff_exit)
+        inside = jnp.logical_and(stepping, jnp.logical_not(crossed))
+
+        p = o + t_cand[..., None] * d
+        coord = (
+            jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
+        )
+        tap_bits, rng_c = next_uint32(rng_c, inside)
+        tap = fast._stochastic_tap(coord, tap_bits)
+        ix = jnp.clip(tap[..., 0], 0, nx - 1)
+        iy = jnp.clip(tap[..., 1], 0, ny - 1)
+        iz = jnp.clip(tap[..., 2], 0, nz - 1)
+        tap_flat = (iz * ny + iy) * nx + ix
+        rho = jnp.take(
+            density_flat, jnp.where(inside, tap_flat, 0), axis=0
+        )
+        u2, rng_c = next_float(rng_c, inside)
+        accepted = jnp.logical_and(
+            inside, jnp.logical_not(scale * rho * inv_sig < u2)
+        )
+        if record:
+            # single-tap score terms with the LOCAL majorant
+            is_null = jnp.logical_and(inside, jnp.logical_not(accepted))
+            score = jnp.where(
+                accepted,
+                1.0 / jnp.maximum(rho, 1e-8),
+                jnp.where(
+                    is_null,
+                    -1.0 / jnp.maximum(rho_loc - rho, 1e-8),
+                    0.0,
+                ),
+            )
+            dd = dd.at[jnp.where(inside, tap_flat, len(density_flat))].add(
+                s_lane * score, mode="drop"
+            )
+
+        overran_step = jnp.logical_and(crossed, max_t <= brick_exit)
+        transit = jnp.logical_and(
+            crossed, jnp.logical_not(overran_step)
+        )
+        t = jnp.where(
+            probe_empty,
+            jnp.minimum(t_leap, max_t),
+            jnp.where(
+                transit,
+                brick_exit,
+                jnp.where(
+                    overran_step,
+                    jnp.maximum(t, max_t),
+                    jnp.where(inside, t_cand, t),
+                ),
+            ),
+        )
+        brick_exit = jnp.where(probe_empty, -1.0, brick_exit)
+        done = jnp.logical_or(
+            accepted, jnp.logical_or(overran_step, overran_empty)
+        )
+        scattered = jnp.logical_or(scattered, accepted)
+        tap_saved = jnp.where(accepted, tap_flat, tap_saved)
+        running = jnp.logical_and(running, jnp.logical_not(done))
+        return (
+            running, t, brick_exit, inv_sig, rho_loc, scattered,
+            tap_saved, rng_c, dd, da,
+        )
+
+    init = (
+        in_medium, zero1, zero1 - 1.0, zero1, zero1,
+        jnp.zeros((n_lanes,), bool), jnp.zeros((n_lanes,), jnp.int32),
+        rng, d_density, d_albedo,
+    )
+    (_, t_w, _, _, _, scattered, tap_saved, rng, d_density,
+     d_albedo) = jax.lax.while_loop(wcond, wbody, init)
+    boundary = jnp.logical_and(alive, jnp.logical_not(scattered))
+
+    # --- boundary event (shared physics helpers) --------------------------
+    o_bound = o + d * isect.dist[..., None]
+    o_b, d_b, t_b, rng = integrator.boundary_event(
+        scene, settings, isect.normal, o_bound, d, tput, rng, boundary
+    )
+
+    # --- scatter event: albedo at the accepted tap ------------------------
+    alb_idx = jnp.zeros_like(tap_saved) if const_alb else tap_saved
+    alb_row = jnp.take(albedo_flat, alb_idx, axis=0)
+    albedo = alb_row[..., :3]
+    if record:
+        adj = jnp.where(
+            scattered[..., None],
+            g_lane / jnp.maximum(albedo, 1e-8),
+            0.0,
+        )
+        pad = jnp.zeros(adj.shape[:-1] + (1,), jnp.float32)
+        adj4 = jnp.concatenate([adj, pad], axis=-1)[
+            ..., : alb_shape[-1]
+        ]
+        d_albedo = d_albedo.at[
+            jnp.where(scattered, alb_idx, albedo_flat.shape[0])
+        ].add(adj4, mode="drop")
+    d_s, rng = phase.sample_phase(d, med.g, rng, active=scattered)
+
+    o_s = o + d * t_w[..., None] - d * EPSILON
+    o = jnp.where(
+        scattered[..., None], o_s,
+        jnp.where(boundary[..., None], o_b, o),
+    )
+    d = jnp.where(scattered[..., None], d_s, d_b)
+    tput = jnp.where(scattered[..., None], tput * albedo, t_b)
+
+    if settings.russian_roulette:
+        tput, alive, _, rng = integrator.russian_roulette(
+            tput, alive, rng, alive
+        )
+
+    return _ReplayState(
+        o=o, d=d, throughput=tput, radiance=rad, alive=alive, rng=rng,
+        d_density=d_density, d_albedo=d_albedo,
+    )
+
+
 def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
-            d_density0, d_albedo0):
+            d_density0, d_albedo0, tables=None):
     n = o0.shape[:-1]
     st = _ReplayState(
         o=o0, d=d0,
@@ -312,18 +543,35 @@ def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
 
     def body(c):
         st, bounce = c
-        return (
-            _replay_bounce(scene, settings, st, s_lane, g_lane, record),
-            bounce + 1,
-        )
+        if tables is not None:
+            nxt = _replay_bounce_2l(
+                scene, settings, st, s_lane, g_lane, record, tables
+            )
+        else:
+            nxt = _replay_bounce(scene, settings, st, s_lane, g_lane, record)
+        return (nxt, bounce + 1)
 
     final, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return final
 
 
+def _lane_setup(camera_spec, resolution, spp, seed):
+    tw, th = resolution
+    n_lanes = tw * th * spp
+    image_id, pixel_xy = naive.lane_pixels(
+        n_lanes, resolution, jnp.zeros(2, jnp.float32)
+    )
+    path_id = jnp.arange(n_lanes, dtype=jnp.uint32)
+    rng = make_rng(seed, path_id)
+    o0, d0, rng = cam.generate_rays(
+        camera_spec.build(), pixel_xy, resolution, rng
+    )
+    return n_lanes, image_id, o0, d0, rng
+
+
 @partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8),
 )
 def render_diff(
     density_data,
@@ -334,13 +582,37 @@ def render_diff(
     settings: RenderSettings,
     resolution: Tuple[int, int],
     spp: int,
+    two_level: bool = False,
 ):
     """Differentiable render: image (H, W, 3) from grid parameters.
 
     scene_spec/camera_spec supply everything except the grids and are
-    hashable compile-time constants.
+    hashable compile-time constants.  two_level=True switches forward
+    AND backward to the sparse-leap stochastic-tap estimator family
+    (fastSK's) — required for large sparse grids where global-majorant
+    tracking is intractable.
     """
     scene = scene_spec.build(density_data, albedo_data)
+    tw, th = resolution
+    if two_level:
+        tables = _build_brick_tab(density_data)
+        n_lanes, image_id, o0, d0, rng = _lane_setup(
+            camera_spec, resolution, spp, seed
+        )
+        zero_d = jnp.zeros((0,), jnp.float32)
+        zero_a = jnp.zeros((0, albedo_data.shape[-1]), jnp.float32)
+        out = _replay(
+            scene, settings, o0, d0, rng,
+            jnp.zeros((n_lanes,), jnp.float32),
+            jnp.zeros((n_lanes, 3), jnp.float32),
+            False, zero_d, zero_a, tables,
+        )
+        img = (
+            jnp.zeros((tw * th, 3), jnp.float32)
+            .at[image_id]
+            .add(out.radiance)
+        )
+        return img.reshape(th, tw, 3)
     img, _ = naive.render_tile(
         scene, camera_spec.build(), settings, resolution,
         jnp.zeros(2, jnp.float32), resolution, spp, seed, 0,
@@ -349,27 +621,22 @@ def render_diff(
 
 
 def _fwd(density_data, albedo_data, seed, scene_spec, camera_spec,
-         settings, resolution, spp):
+         settings, resolution, spp, two_level=False):
     img = render_diff(
         density_data, albedo_data, seed, scene_spec, camera_spec,
-        settings, resolution, spp,
+        settings, resolution, spp, two_level,
     )
     return img, (density_data, albedo_data, seed)
 
 
-def _bwd(scene_spec, camera_spec, settings, resolution, spp,
+def _bwd(scene_spec, camera_spec, settings, resolution, spp, two_level,
          residuals, g_img):
     density_data, albedo_data, seed = residuals
     scene = scene_spec.build(density_data, albedo_data)
-    camera = camera_spec.build()
-    tw, th = resolution
-    n_lanes = tw * th * spp
-    image_id, pixel_xy = naive.lane_pixels(
-        n_lanes, resolution, jnp.zeros(2, jnp.float32)
+    tables = _build_brick_tab(density_data) if two_level else None
+    n_lanes, image_id, o0, d0, rng = _lane_setup(
+        camera_spec, resolution, spp, seed
     )
-    path_id = jnp.arange(n_lanes, dtype=jnp.uint32)
-    rng = make_rng(seed, path_id)
-    o0, d0, rng = cam.generate_rays(camera, pixel_xy, resolution, rng)
 
     zero_d = jnp.zeros((density_data.size,), jnp.float32)
     zero_a = jnp.zeros(
@@ -381,6 +648,7 @@ def _bwd(scene_spec, camera_spec, settings, resolution, spp,
     pass_a = _replay(
         scene, settings, o0, d0, rng, jnp.zeros((n_lanes,), jnp.float32),
         jnp.zeros((n_lanes, 3), jnp.float32), False, zero_d, zero_a,
+        tables,
     )
     c_lane = pass_a.radiance  # (N, 3)
     g_pix = g_img.reshape(-1, 3)
@@ -390,6 +658,7 @@ def _bwd(scene_spec, camera_spec, settings, resolution, spp,
     # Pass B: replay with adjoint scatter.
     pass_b = _replay(
         scene, settings, o0, d0, rng, s_lane, g_lane, True, zero_d, zero_a,
+        tables,
     )
     d_density = pass_b.d_density.reshape(density_data.shape)
     d_albedo = pass_b.d_albedo.reshape(albedo_data.shape)

@@ -81,10 +81,22 @@ _TAIL_CHAIN_WIDTH = 16384
 
 
 def make_fused_grid(scene: Scene) -> jnp.ndarray:
-    """(Z*Y*X, 4) rows of (albedo.rgb, density)."""
-    alb = scene.medium.albedo.data[..., :3].reshape(-1, 3)
+    """(Z*Y*X, 4) rows of (albedo.rgb, density).
+
+    With a constant albedo (a (1,1,1,C) grid) the fused table collapses
+    to a density-only (Z*Y*X, 1) column: giant sparse scenes (the
+    BASELINE 1024^3 VDB class) then fit in HBM without materializing a
+    per-voxel albedo, and the tap gather rides the narrower fast path.
+    """
     den = scene.medium.density.data.reshape(-1, 1)
+    if _has_const_albedo(scene):
+        return den
+    alb = scene.medium.albedo.data[..., :3].reshape(-1, 3)
     return jnp.concatenate([alb, den], axis=-1)
+
+
+def _has_const_albedo(scene: Scene) -> bool:
+    return all(s == 1 for s in scene.medium.albedo.data.shape[:3])
 
 
 def pick_brick(grid_shape_zyx) -> Tuple[int, int, int]:
@@ -114,21 +126,21 @@ def brick_majorants(
     bz, by, bx = brick
     nz, ny, nx = density_zyx.shape
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    padded = jnp.pad(
-        density_zyx,
-        (
-            (0, nbz * bz + 1 - nz),
-            (0, nby * by + 1 - ny),
-            (0, nbx * bx + 1 - nx),
-        ),
-    )
+    # padding folded into reduce_window (an explicit jnp.pad would copy
+    # the whole grid — a 4.3 GB temporary at 1024^3); the -inf pad value
+    # is equivalent to the zero pad since density >= 0 and every brick
+    # window contains at least one real voxel
     return jax.lax.reduce_window(
-        padded,
+        density_zyx,
         -jnp.inf,
         jax.lax.max,
         window_dimensions=(bz + 1, by + 1, bx + 1),
         window_strides=(bz, by, bx),
-        padding="valid",
+        padding=(
+            (0, nbz * bz + 1 - nz),
+            (0, nby * by + 1 - ny),
+            (0, nbx * bx + 1 - nx),
+        ),
     )
 
 
@@ -272,6 +284,15 @@ def render_tile(
     scale = med.scale
     inv_sigmat = 1.0 / (scale * med.max_density)
     fused = make_fused_grid(scene)
+    const_alb = _has_const_albedo(scene)
+    if const_alb:
+        alb_const = med.albedo.data.reshape(-1)[:3]
+
+    def row_rho_alb(row):
+        """Density + scatter albedo from a fused-table row batch."""
+        rho = row[..., -1]
+        alb = alb_const if const_alb else row[..., :3]
+        return rho, jnp.broadcast_to(alb, row.shape[:-1] + (3,))
     if two_level:
         bz_, by_, bx_ = pick_brick((nz, ny, nx))
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
@@ -460,8 +481,7 @@ def render_tile(
                 row = jnp.take(
                     fused, jnp.where(inside, tap_flat, 0), axis=0
                 )  # (N, 4)
-                rho_hat = row[..., 3]
-                alb_hat = row[..., :3]
+                rho_hat, alb_hat = row_rho_alb(row)
                 u2, rng = next_float(rng, inside)
                 accepted = jnp.logical_and(
                     inside,
@@ -509,7 +529,7 @@ def render_tile(
                 acceptj = jnp.logical_and(
                     validj,
                     jnp.logical_not(
-                        scale * rows[..., 3] * inv_sig_local[..., None]
+                        scale * rows[..., -1] * inv_sig_local[..., None]
                         < u2k
                     ),
                 )
@@ -534,7 +554,7 @@ def render_tile(
                     stepping,
                     jnp.logical_and(any_stop, jnp.logical_not(acc0)),
                 )
-                alb_hat = row0[..., :3]
+                _, alb_hat = row_rho_alb(row0)
                 # no stop within K valid steps: advance and keep tracking
                 advance = jnp.logical_and(
                     stepping,
@@ -584,8 +604,7 @@ def render_tile(
             iy = jnp.clip(tap[..., 1], 0, ny - 1)
             iz = jnp.clip(tap[..., 2], 0, nz - 1)
             row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)  # (N,4)
-            rho_hat = row[..., 3]
-            alb_hat = row[..., :3]
+            rho_hat, alb_hat = row_rho_alb(row)
             u2, rng = next_float(rng, step_mask)
             overran = t_new > max_t
             accepted = jnp.logical_not(scale * rho_hat * inv_sigmat < u2)

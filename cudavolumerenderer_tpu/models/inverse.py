@@ -31,6 +31,9 @@ class InverseConfig:
     n_steps: int = 200
     seed: int = 7
     optimize_albedo: bool = False
+    #: sparse-leap stochastic-tap estimator for fwd+bwd — required for
+    #: large grids (global-majorant replay is intractable at 256^3+)
+    two_level: bool = False
     clip_density: Tuple[float, float] = (0.0, 1.0)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
@@ -47,7 +50,7 @@ def make_loss_fn(
     def loss_fn(density, albedo, target, seed):
         img = render_diff(
             density, albedo, seed, scene_spec, camera_spec, settings,
-            config.resolution, spp,
+            config.resolution, spp, config.two_level,
         ) / float(spp)
         return jnp.mean((img - target) ** 2)
 

@@ -10,7 +10,7 @@ from ..ops.camera import Camera, make_camera
 from .mhd import load_mhd_scene
 from .raw_builder import load_raw_scene
 from .types import Scene
-from .vdb import load_npz_scene
+from .vdb import load_npz_scene, load_vdb_scene
 from .xml_builder import load_xml_scene
 
 
@@ -27,12 +27,10 @@ def load_scene(config: Config) -> Tuple[Scene, Camera]:
         scene, camera = load_raw_scene(config.scene_file)
     elif stype == SceneType.MHD:
         scene, camera = load_mhd_scene(config.scene_file)
-    elif stype in (SceneType.NPZ, SceneType.VDB):
-        if stype == SceneType.VDB:
-            raise ValueError(
-                "direct .vdb loading needs pyopenvdb; convert offline with "
-                "cudavolumerenderer_tpu.scene.vdb.convert_vdb_to_npz"
-            )
+    elif stype == SceneType.VDB:
+        # native reader (csrc/cvr_vdb.cpp) — no OpenVDB dependency
+        scene, camera = load_vdb_scene(config.scene_file)
+    elif stype == SceneType.NPZ:
         scene, camera = load_npz_scene(config.scene_file)
     else:
         raise ValueError(f"unhandled scene type {stype}")

@@ -94,14 +94,32 @@ def make_medium(
     max_density: float | None = None,
     g: float = 0.0,
 ) -> Medium:
-    """Assemble a Medium from numpy volumes (x-fastest (Z, Y, X[,C]) layout)."""
-    density_zyx = np.asarray(density_zyx, np.float32)
-    albedo_zyx = np.asarray(albedo_zyx, np.float32)
+    """Assemble a Medium from volumes in x-fastest (Z, Y, X[,C]) layout.
+
+    Accepts numpy or jax arrays (jax arrays pass through without a host
+    round-trip — required for device-generated giant grids).  A scalar or
+    (3,) albedo becomes a constant (1, 1, 1, 4) grid; the fastSK fused
+    table then stays density-only, which is what makes the BASELINE
+    1024^3 sparse class fit in HBM.
+    """
+    if not isinstance(density_zyx, jnp.ndarray):
+        density_zyx = np.asarray(density_zyx, np.float32)
+    if np.ndim(albedo_zyx) <= 1:  # constant albedo
+        albedo_zyx = np.broadcast_to(
+            np.asarray(albedo_zyx, np.float32).reshape(1, 1, 1, -1),
+            (1, 1, 1, 3),
+        ).copy()
+    if not isinstance(albedo_zyx, jnp.ndarray):
+        albedo_zyx = np.asarray(albedo_zyx, np.float32)
     if albedo_zyx.ndim == 3:
         albedo_zyx = albedo_zyx[..., None]
     if albedo_zyx.shape[-1] == 3:
-        albedo_zyx = np.concatenate(
-            [albedo_zyx, np.ones(albedo_zyx.shape[:-1] + (1,), np.float32)],
+        xp = jnp if isinstance(albedo_zyx, jnp.ndarray) else np
+        albedo_zyx = xp.concatenate(
+            [
+                albedo_zyx,
+                xp.ones(albedo_zyx.shape[:-1] + (1,), np.float32),
+            ],
             axis=-1,
         )
     if max_density is None:

@@ -106,3 +106,209 @@ def convert_vdb_to_npz(vdb_path: str, npz_path: str) -> None:
     albedo = np.zeros(shape[::-1] + (3,), np.float32)
     albedo_grid.copyToArray(albedo, ijk=bbox_min)
     save_npz(npz_path, density, albedo)
+
+
+# ---------------------------------------------------------------------------
+# Native .vdb support: a from-scratch OpenVDB archive writer (below) and
+# the C++ reader in csrc/cvr_vdb.cpp (sparse->dense flattening with the
+# reference VDBAdapter's semantics).  Together they replace the
+# pyopenvdb dependency for the standard case: file version 224,
+# 5-4-3 float/vec3s trees, zip or uncompressed values.
+
+_VDB_MAGIC = 0x56444220
+_VDB_VERSION = 224
+_COMPRESS_ZIP = 0x1
+_COMPRESS_ACTIVE_MASK = 0x2
+
+
+def _wstr(parts, s: str) -> None:
+    b = s.encode()
+    parts.append(np.uint32(len(b)).tobytes())
+    parts.append(b)
+
+
+def _leaf_blocks(dense_zyx: np.ndarray):
+    """Yield ((ox, oy, oz), (8,8,8[,C]) block, active mask) for every 8^3
+    leaf with any nonzero voxel.  Origins in (x, y, z) voxel coords."""
+    nz, ny, nx = dense_zyx.shape[:3]
+    for oz in range(0, nz, 8):
+        for oy in range(0, ny, 8):
+            for ox in range(0, nx, 8):
+                block = dense_zyx[oz : oz + 8, oy : oy + 8, ox : ox + 8]
+                if not np.any(block):
+                    continue
+                pad = [(0, 8 - block.shape[0]), (0, 8 - block.shape[1]),
+                       (0, 8 - block.shape[2])] + [(0, 0)] * (
+                    dense_zyx.ndim - 3
+                )
+                block = np.pad(block, pad)
+                active = np.any(block != 0, axis=-1) if block.ndim == 4 \
+                    else block != 0
+                yield (ox, oy, oz), block, active
+
+
+def _mask_bytes(bits_flat: np.ndarray) -> bytes:
+    """LSB-first bit packing into 64-bit words (OpenVDB NodeMask)."""
+    return np.packbits(
+        bits_flat.astype(np.uint8), bitorder="little"
+    ).tobytes()
+
+
+def _zip_values(raw: bytes, use_zip: bool) -> bytes:
+    import zlib
+
+    if not use_zip:
+        return raw
+    z = zlib.compress(raw)
+    return np.int64(len(z)).tobytes() + z
+
+
+def _write_tree(parts, dense_zyx: np.ndarray, channels: int,
+                use_zip: bool) -> None:
+    """5-4-3 tree over one Internal1 node at the origin (grids up to
+    4096^3), active-mask value compression."""
+    nz, ny, nx = dense_zyx.shape[:3]
+    if max(nx, ny, nz) > 4096:
+        raise ValueError("write_vdb supports grids up to 4096^3")
+    parts.append(np.uint32(1).tobytes())  # buffer count
+    parts.append(np.zeros(channels, np.float32).tobytes())  # background
+    parts.append(np.uint32(0).tobytes())  # root tiles
+    parts.append(np.uint32(1).tobytes())  # root children
+    parts.append(np.zeros(3, np.int32).tobytes())  # child origin (0,0,0)
+
+    leaves = list(_leaf_blocks(dense_zyx))
+    leaf_set = {org: (blk, act) for org, blk, act in leaves}
+
+    def bit_index(org, base, span, log2):
+        dim = 1 << log2
+        x = (org[0] - base[0]) // span
+        y = (org[1] - base[1]) // span
+        z = (org[2] - base[2]) // span
+        return (x << (2 * log2)) | (y << log2) | z, dim
+
+    def write_masks_and_values(child_bits):
+        parts.append(_mask_bytes(child_bits))  # child mask
+        parts.append(_mask_bytes(np.zeros_like(child_bits)))  # value mask
+        parts.append(np.int8(3).tobytes())  # MASK_AND_NO_INACTIVE_VALS
+        # zero active tiles -> zero stored values -> no payload
+
+    # Internal1 (32^3 children of span 128) at origin
+    i2_origins = sorted(
+        {(lx // 128 * 128, ly // 128 * 128, lz // 128 * 128)
+         for (lx, ly, lz) in leaf_set},
+        key=lambda o: bit_index(o, (0, 0, 0), 128, 5)[0],
+    )
+    bits1 = np.zeros(32 * 32 * 32, bool)
+    for o in i2_origins:
+        bits1[bit_index(o, (0, 0, 0), 128, 5)[0]] = True
+    write_masks_and_values(bits1)
+
+    leaf_order = []
+    for o2 in i2_origins:
+        mine = sorted(
+            (k for k in leaf_set
+             if all(o2[a] <= k[a] < o2[a] + 128 for a in range(3))),
+            key=lambda k: bit_index(k, o2, 8, 4)[0],
+        )
+        bits2 = np.zeros(16 * 16 * 16, bool)
+        for k in mine:
+            bits2[bit_index(k, o2, 8, 4)[0]] = True
+        write_masks_and_values(bits2)
+        for k in mine:
+            _, act = leaf_set[k]
+            # leaf topology: value mask, z-fastest bit order
+            parts.append(_mask_bytes(act.transpose(2, 1, 0).reshape(-1)))
+        leaf_order.extend(mine)
+
+    # leaf buffers, same traversal order
+    for org in leaf_order:
+        blk, act = leaf_set[org]
+        parts.append(np.int8(3).tobytes())  # MASK_AND_NO_INACTIVE_VALS
+        flat = blk.transpose(2, 1, 0, 3).reshape(512, -1)  # z-fastest
+        act_flat = act.transpose(2, 1, 0).reshape(512)
+        vals = flat[act_flat].astype(np.float32)
+        parts.append(_zip_values(vals.tobytes(), use_zip))
+
+
+def write_vdb(path: str, density_zyx: np.ndarray,
+              albedo_zyx: np.ndarray | None = None,
+              compression: str = "zip") -> None:
+    """Write an OpenVDB archive with 'density' (float) and optionally
+    'albedo' (vec3s) grids — the exact pair the reference's
+    VDBSceneBuilder expects.  File version 224, active-mask (+ optional
+    zip) value compression, UniformScaleMap transform."""
+    density_zyx = np.asarray(density_zyx, np.float32)
+    use_zip = compression == "zip"
+    comp_flags = _COMPRESS_ACTIVE_MASK | (_COMPRESS_ZIP if use_zip else 0)
+
+    grids = [("density", density_zyx[..., None], 1, "Tree_float_5_4_3")]
+    if albedo_zyx is not None:
+        albedo_zyx = np.asarray(albedo_zyx, np.float32)[..., :3]
+        grids.append(("albedo", albedo_zyx, 3, "Tree_vec3s_5_4_3"))
+
+    header = []
+    header.append(np.int64(_VDB_MAGIC).tobytes())
+    header.append(np.uint32(_VDB_VERSION).tobytes())
+    header.append(np.uint32(8).tobytes())  # library major
+    header.append(np.uint32(1).tobytes())  # library minor
+    header.append(b"\x01")  # has grid offsets
+    header.append(np.uint32(comp_flags).tobytes())
+    header.append(b"00000000-0000-0000-0000-000000000000")  # uuid
+    header.append(np.uint32(0).tobytes())  # archive metadata count
+    header.append(np.uint32(len(grids)).tobytes())
+    blob = b"".join(header)
+
+    for name, data, channels, gtype in grids:
+        desc = []
+        _wstr(desc, name)
+        _wstr(desc, gtype)
+        _wstr(desc, "")  # instance parent
+        desc_blob = b"".join(desc)
+        offsets_at = len(blob) + len(desc_blob)
+        grid_pos = offsets_at + 24  # 3 int64 offsets
+
+        body = []
+        body.append(np.uint32(comp_flags).tobytes())  # per-grid compression
+        body.append(np.uint32(0).tobytes())  # grid metadata count
+        _wstr(body, "UniformScaleMap")
+        body.append(np.full(15, 1.0, np.float64).tobytes())  # map data
+        _write_tree(body, data, channels, use_zip)
+        body_blob = b"".join(body)
+
+        # topology begins right after the transform; block_pos is only
+        # meaningful for delayed-load readers — point it at the grid body
+        end_pos = grid_pos + len(body_blob)
+        offsets = (
+            np.int64(grid_pos).tobytes()
+            + np.int64(grid_pos).tobytes()
+            + np.int64(end_pos).tobytes()
+        )
+        blob += desc_blob + offsets + body_blob
+
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_vdb_scene(path: str) -> Tuple[Scene, Camera]:
+    """Runtime .vdb loader via the native reader (csrc/cvr_vdb.cpp):
+    reference VDBSceneBuilder semantics — natural resolution from the
+    density grid's active bounding box, inactive voxels 0, AABB forced
+    to [-0.5, 0.5]^3, scale 100, max_density = max(density)
+    (reference: VDBSceneBuilder.h:40-80)."""
+    from ..utils import native
+
+    density, bbox = native.vdb_densify(path, "density", 1)
+    density = density[..., 0]
+    try:
+        albedo, _ = native.vdb_densify(path, "albedo", 3, bbox=bbox)
+    except (KeyError, RuntimeError):
+        albedo = np.ones(density.shape + (3,), np.float32)
+    medium = make_medium(
+        density,
+        albedo,
+        box_min=(-0.5, -0.5, -0.5),
+        box_max=(0.5, 0.5, 0.5),
+        scale=100.0,
+        max_density=float(density.max()),
+    )
+    return make_scene(medium), make_camera()

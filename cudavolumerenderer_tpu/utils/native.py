@@ -164,3 +164,61 @@ def rgbe_encode(rgb: np.ndarray) -> np.ndarray:
     from .image import _rgbe_encode
 
     return _rgbe_encode(img)
+
+
+def vdb_grid_info(path: str, grid_name: str):
+    """Active-voxel bbox + channel count of a grid in a .vdb archive
+    (native reader, csrc/cvr_vdb.cpp).  Returns (bbox6, channels)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable; .vdb reading requires csrc build"
+        )
+    lib.cvr_vdb_grid_info.restype = ctypes.c_int
+    lib.cvr_vdb_last_error.restype = ctypes.c_char_p
+    bbox = np.zeros(6, np.int32)
+    channels = ctypes.c_int32(0)
+    rc = lib.cvr_vdb_grid_info(
+        path.encode(), grid_name.encode(), _ptr(bbox),
+        ctypes.byref(channels),
+    )
+    if rc == -2:
+        raise KeyError(f"grid {grid_name!r} has no active voxels")
+    if rc != 0:
+        raise RuntimeError(
+            f"cvr_vdb_grid_info: {lib.cvr_vdb_last_error().decode()}"
+        )
+    return bbox, int(channels.value)
+
+
+def vdb_densify(path: str, grid_name: str, channels: int, bbox=None):
+    """Densify a .vdb grid over its active bbox (or a given bbox) into a
+    (Z, Y, X, channels) float32 array — the reference VDBAdapter's
+    flattening (inactive voxels = 0).  Returns (array, bbox)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable; .vdb reading requires csrc build"
+        )
+    if bbox is None:
+        bbox, file_channels = vdb_grid_info(path, grid_name)
+        if file_channels != channels:
+            raise RuntimeError(
+                f"grid {grid_name!r} has {file_channels} channels, "
+                f"expected {channels}"
+            )
+    bbox = np.ascontiguousarray(bbox, np.int32)
+    nx = int(bbox[3] - bbox[0] + 1)
+    ny = int(bbox[4] - bbox[1] + 1)
+    nz = int(bbox[5] - bbox[2] + 1)
+    lib.cvr_vdb_densify.restype = ctypes.c_int
+    lib.cvr_vdb_last_error.restype = ctypes.c_char_p
+    out = np.zeros((nz, ny, nx, channels), np.float32)
+    rc = lib.cvr_vdb_densify(
+        path.encode(), grid_name.encode(), _ptr(bbox), _ptr(out), channels
+    )
+    if rc != 0:
+        raise RuntimeError(
+            f"cvr_vdb_densify: {lib.cvr_vdb_last_error().decode()}"
+        )
+    return out, bbox

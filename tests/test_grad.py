@@ -214,3 +214,68 @@ class TestInverseRecovery:
         d1 = jnp.clip(d0 - 25.0 * g, 0.0, 1.0)
         l1 = loss(d1)
         assert float(l1) < float(l0), (float(l0), float(l1))
+
+
+class TestTwoLevelGradients:
+    """The sparse-leap stochastic-tap estimator (two_level=True) must
+    satisfy the same oracles as the naive-replay estimator."""
+
+    def test_density_matches_analytic_transmittance_derivative(self):
+        n = 4
+        rho = 0.5
+        density = jnp.full((n, n, n), rho, jnp.float32)
+        albedo = jnp.zeros((n, n, n, 4), jnp.float32)
+        settings = settings_nr(max_len=8)
+        spp = 2500
+
+        def loss(dgrid):
+            img = render_diff(
+                dgrid, albedo, 11, SPEC, CAM, settings, RES, spp, True
+            )
+            return jnp.mean(img[..., 0]) / spp
+
+        val, g = jax.value_and_grad(loss)(density)
+        expected_val = np.exp(-2.0 * rho)
+        assert abs(float(val) - expected_val) < 0.03
+        dE_drho = -2.0 * np.exp(-2.0 * rho)
+        total = float(jnp.sum(g))
+        assert abs(total - dE_drho) / abs(dE_drho) < 0.15, (
+            f"2L density grad {total} vs analytic {dE_drho}"
+        )
+
+    def test_albedo_matches_fixed_seed_finite_differences(self):
+        """RR off ⇒ trajectories independent of albedo ⇒ same-seed FD is
+        exact for the 2L albedo gradient too."""
+        density, albedo = grids()
+        settings = settings_nr()
+        spp, seed = 8, 3
+
+        def loss(a):
+            img = render_diff(
+                density, a, seed, SPEC, CAM, settings, RES, spp, True
+            )
+            return jnp.sum(img)
+
+        g = jax.grad(loss)(albedo)
+        h = 1e-3
+        direction = jnp.zeros_like(albedo).at[..., :3].set(1.0)
+        fd = (loss(albedo + h * direction) - loss(albedo - h * direction)) / (
+            2 * h
+        )
+        analytic = jnp.sum(g * direction)
+        np.testing.assert_allclose(
+            float(analytic), float(fd), rtol=2e-2, atol=1e-3
+        )
+
+    def test_forward_matches_naive_estimator_mean(self):
+        """2L forward is a different (but exact) estimator: means agree."""
+        density, albedo = grids(rho=0.6, alb=0.7)
+        settings = settings_nr(max_len=16)
+        a = render_diff(
+            density, albedo, 3, SPEC, CAM, settings, RES, 256
+        )
+        b = render_diff(
+            density, albedo, 4, SPEC, CAM, settings, RES, 256, True
+        )
+        ma, mb = float(jnp.mean(a)), float(jnp.mean(b))
+        assert abs(ma - mb) / ma < 0.05, (ma, mb)
