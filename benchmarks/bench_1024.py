@@ -99,6 +99,55 @@ def main() -> int:
         best = max(best or 0.0, mrays)
     print(f"BEST fwd: {best:.2f} Mrays/s ({args.n}^3, {res}^2, "
           f"{args.iters} it)", flush=True)
+
+    if args.bwd:
+        # fwd+bwd: gradient of a scalar loss w.r.t. the 1024^3 density
+        # through the two-level differentiable estimator (path-replay
+        # backprop; d_density is a second 4.3 GB grid).
+        import jax
+
+        from cudavolumerenderer_tpu.models.differentiable import (
+            CameraSpec,
+            SceneSpec,
+            render_diff,
+        )
+
+        bres, bspp = args.res // 4, 1
+        spec = SceneSpec(scale=100.0, max_density=dmax)
+        cam = CameraSpec(res_x=bres, res_y=bres, fov_x_deg=0.7)
+        dsettings = RenderSettings.from_flags(
+            True, russian_roulette=True, max_path_length=100
+        )
+        albedo_grid = jnp.full((1, 1, 1, 4), 0.9, jnp.float32)
+
+        def loss(dgrid, seed):
+            img = render_diff(
+                dgrid, albedo_grid, seed, spec, cam, dsettings,
+                (bres, bres), bspp, True,
+            )
+            return jnp.mean(img)
+
+        # donate the grid: four whole-grid buffers (input, flat copy,
+        # cotangent, grad out) don't fit 16 GB HBM otherwise; the grid is
+        # deterministic and cheap to regenerate per rep
+        vg = jax.jit(jax.value_and_grad(loss), donate_argnums=(0,))
+        val, g = vg(density, 3)
+        _ = float(val), float(g.sum())  # sync
+        del g
+        for s in (4, 5):
+            dgrid = make_density_1024(args.n)
+            t0 = time.perf_counter()
+            val, g = vg(dgrid, s)
+            gs = float(g.sum())
+            dt = time.perf_counter() - t0
+            del g
+            n_paths = bres * bres * bspp
+            print(
+                f"fwd+bwd seed={s}: {dt:.3f}s  "
+                f"{n_paths/dt/1e6:.3f} Mpaths/s  loss={float(val):.4f} "
+                f"gsum={gs:.3e}",
+                flush=True,
+            )
     return 0
 
 

@@ -499,9 +499,14 @@ def _replay_bounce_2l(scene, settings, st, s_lane, g_lane, record, tables):
         adj4 = jnp.concatenate([adj, pad], axis=-1)[
             ..., : alb_shape[-1]
         ]
-        d_albedo = d_albedo.at[
-            jnp.where(scattered, alb_idx, albedo_flat.shape[0])
-        ].add(adj4, mode="drop")
+        if const_alb:
+            # constant albedo: a full-width scatter onto a 1-row table
+            # is degenerate — reduce instead
+            d_albedo = d_albedo + jnp.sum(adj4, axis=0, keepdims=True)
+        else:
+            d_albedo = d_albedo.at[
+                jnp.where(scattered, alb_idx, albedo_flat.shape[0])
+            ].add(adj4, mode="drop")
     d_s, rng = phase.sample_phase(d, med.g, rng, active=scattered)
 
     o_s = o + d * t_w[..., None] - d * EPSILON
@@ -644,10 +649,15 @@ def _bwd(scene_spec, camera_spec, settings, resolution, spp, two_level,
         jnp.float32,
     )
 
-    # Pass A: recompute per-lane contributions C.
+    # Pass A: recompute per-lane contributions C.  record=False never
+    # touches the cotangent buffers, so thread dummies — carrying the
+    # real (V,) accumulator here would keep a second whole-grid buffer
+    # live (4.3 GB at 1024^3).
     pass_a = _replay(
         scene, settings, o0, d0, rng, jnp.zeros((n_lanes,), jnp.float32),
-        jnp.zeros((n_lanes, 3), jnp.float32), False, zero_d, zero_a,
+        jnp.zeros((n_lanes, 3), jnp.float32), False,
+        jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0, albedo_data.shape[-1]), jnp.float32),
         tables,
     )
     c_lane = pass_a.radiance  # (N, 3)

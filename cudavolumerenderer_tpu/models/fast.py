@@ -84,13 +84,15 @@ def make_fused_grid(scene: Scene) -> jnp.ndarray:
     """(Z*Y*X, 4) rows of (albedo.rgb, density).
 
     With a constant albedo (a (1,1,1,C) grid) the fused table collapses
-    to a density-only (Z*Y*X, 1) column: giant sparse scenes (the
+    to a density-only flat (Z*Y*X,) vector: giant sparse scenes (the
     BASELINE 1024^3 VDB class) then fit in HBM without materializing a
-    per-voxel albedo, and the tap gather rides the narrower fast path.
+    per-voxel albedo.  The table must stay 1-D — reshaping a 1024^3
+    array to (V, 1) sends the XLA layout assigner into a multi-hour
+    compile (measured; the flat reshape compiles in under a second).
     """
-    den = scene.medium.density.data.reshape(-1, 1)
     if _has_const_albedo(scene):
-        return den
+        return scene.medium.density.data.reshape(-1)
+    den = scene.medium.density.data.reshape(-1, 1)
     alb = scene.medium.albedo.data[..., :3].reshape(-1, 3)
     return jnp.concatenate([alb, den], axis=-1)
 
@@ -288,11 +290,16 @@ def render_tile(
     if const_alb:
         alb_const = med.albedo.data.reshape(-1)[:3]
 
+    def row_rho(row):
+        """Density channel of a fused-table gather (1-D table rows are
+        the densities themselves under constant albedo)."""
+        return row if const_alb else row[..., -1]
+
     def row_rho_alb(row):
         """Density + scatter albedo from a fused-table row batch."""
-        rho = row[..., -1]
-        alb = alb_const if const_alb else row[..., :3]
-        return rho, jnp.broadcast_to(alb, row.shape[:-1] + (3,))
+        if const_alb:
+            return row, jnp.broadcast_to(alb_const, row.shape + (3,))
+        return row[..., -1], row[..., :3]
     if two_level:
         bz_, by_, bx_ = pick_brick((nz, ny, nx))
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
@@ -529,7 +536,7 @@ def render_tile(
                 acceptj = jnp.logical_and(
                     validj,
                     jnp.logical_not(
-                        scale * rows[..., -1] * inv_sig_local[..., None]
+                        scale * row_rho(rows) * inv_sig_local[..., None]
                         < u2k
                     ),
                 )
@@ -538,9 +545,14 @@ def render_tile(
                 )
                 j0 = jnp.argmax(stopj, axis=-1)
                 any_stop = jnp.any(stopj, axis=-1)
-                row0 = jnp.take_along_axis(
-                    rows, j0[..., None, None], axis=1
-                )[:, 0, :]
+                if const_alb:
+                    row0 = jnp.take_along_axis(rows, j0[..., None], axis=1)[
+                        :, 0
+                    ]
+                else:
+                    row0 = jnp.take_along_axis(
+                        rows, j0[..., None, None], axis=1
+                    )[:, 0, :]
                 t0v = jnp.take_along_axis(t_cands, j0[..., None], axis=1)[
                     :, 0
                 ]
