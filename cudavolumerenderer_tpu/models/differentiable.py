@@ -151,7 +151,13 @@ def _build_brick_tab(density_data):
     dd = jax.lax.stop_gradient(density_data)
     brick = fast.pick_brick(dd.shape)
     major = fast.brick_majorants(dd, brick)
-    major = jnp.where(major > 0.0, major * 1.05 + 1e-4, 0.0)
+    # generous headroom: the null score is -1/(maj - rho), so a tight
+    # majorant (forward-optimal) makes the gradient variance explode
+    # wherever the field is locally near-constant.  10% of the grid max
+    # bounds the null score at ~-10/max while keeping the estimator
+    # exact (any valid majorant is).
+    slack = 0.1 * jnp.maximum(jnp.max(dd), 1e-6)
+    major = jnp.where(major > 0.0, major * 1.05 + slack, 0.0)
     cheb = fast.brick_chebyshev_distance(major)
     return major, cheb, brick
 

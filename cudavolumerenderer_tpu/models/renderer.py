@@ -56,11 +56,22 @@ class ProgressiveTiledRenderer:
     # -- progressive interface -------------------------------------------
     def init_rendering(self) -> None:
         w, h = self.config.resolution
-        self.accum = np.zeros((h, w, 3), np.float32)
+        # device-resident accumulator: tiles add on-device and the image
+        # crosses to the host once, at get_image (the per-tile readback
+        # dominated small-render driver timings)
+        self._accum_dev = jnp.zeros((h, w, 3), jnp.float32)
+        self._n_rays_dev = jnp.zeros((), jnp.float32)
         self.iterations_done = np.zeros(len(self.tiles), np.int64)
         self.current_tile = 0
         self.path_id_base = 0
-        self.n_rays = 0.0
+
+    @property
+    def accum(self) -> np.ndarray:
+        return np.asarray(self._accum_dev)
+
+    @property
+    def n_rays(self) -> float:
+        return float(self._n_rays_dev)
 
     def image_complete(self) -> bool:
         return bool(
@@ -96,10 +107,10 @@ class ProgressiveTiledRenderer:
             self.path_id_base,
         )
         self.path_id_base += tw * th * spp
-        self.n_rays += float(n_rays)
-        self.accum[oy : oy + ch, ox : ox + cw] += np.asarray(
-            tile_img
-        )[:ch, :cw]
+        self._n_rays_dev = self._n_rays_dev + n_rays
+        self._accum_dev = self._accum_dev.at[
+            oy : oy + ch, ox : ox + cw
+        ].add(tile_img[:ch, :cw])
         self.iterations_done[idx] += spp
         self.current_tile = (idx + 1) % len(self.tiles)
 
