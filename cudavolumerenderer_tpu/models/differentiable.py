@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,8 +108,18 @@ class CameraSpec:
     fov_x_deg: float = 0.7
     position: Tuple[float, float, float] = (0.0, 0.0, 100.0)
     mitsuba_comparable: bool = True
+    #: optional look-at pose for multi-view inverse rendering; when set,
+    #: the camera orients from `position` toward `look_at` (reference:
+    #: Camera.h lookAt:107-122) instead of the default -z axis pose
+    look_at: Optional[Tuple[float, float, float]] = None
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
 
     def build(self) -> cam.Camera:
+        if self.look_at is not None:
+            return cam.make_camera_look_at(
+                self.position, self.look_at, self.up,
+                self.res_x, self.res_y, self.fov_x_deg,
+            )
         return cam.make_camera(
             self.res_x, self.res_y, self.fov_x_deg, self.position,
             self.mitsuba_comparable,

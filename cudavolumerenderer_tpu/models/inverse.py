@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,63 @@ def make_loss_fn(
         return jnp.mean((img - target) ** 2)
 
     return loss_fn
+
+
+def make_multiview_loss_fn(
+    scene_spec: SceneSpec,
+    camera_specs: Sequence[CameraSpec],
+    settings: RenderSettings,
+    config: InverseConfig,
+):
+    """Mean MSE over several camera poses (CameraSpec.look_at).
+
+    Multi-view constraints are what make 3-D density recovery
+    well-posed: a single view cannot disambiguate depth along rays.
+    `targets` stacks per-view images (V, H, W, 3); per-view sample
+    streams are decorrelated by hashing the view index into the seed.
+    """
+    spp = config.spp
+
+    def loss_fn(density, albedo, targets, seed):
+        total = 0.0
+        for v, cam_spec in enumerate(camera_specs):
+            view_seed = (
+                seed + jnp.uint32(v * 2246822519 % (1 << 31))
+            ).astype(jnp.uint32)
+            img = render_diff(
+                density, albedo, view_seed, scene_spec, cam_spec,
+                settings, config.resolution, spp, config.two_level,
+            ) / float(spp)
+            total = total + jnp.mean((img - targets[v]) ** 2)
+        return total / float(len(camera_specs))
+
+    return loss_fn
+
+
+def orbit_camera_specs(
+    n_views: int,
+    radius: float = 100.0,
+    res: Tuple[int, int] = (32, 32),
+    fov_x_deg: float = 0.7,
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> Tuple[CameraSpec, ...]:
+    """Evenly spaced look-at poses on a horizontal orbit around the
+    volume (the standard multi-view inverse-rendering capture rig)."""
+    specs = []
+    for v in range(n_views):
+        theta = 2.0 * np.pi * v / n_views
+        eye = (
+            center[0] + radius * float(np.sin(theta)),
+            center[1],
+            center[2] + radius * float(np.cos(theta)),
+        )
+        specs.append(
+            CameraSpec(
+                res_x=res[0], res_y=res[1], fov_x_deg=fov_x_deg,
+                position=eye, look_at=center,
+            )
+        )
+    return tuple(specs)
 
 
 def _save_checkpoint(path, step, density, albedo, opt_state):
@@ -108,8 +165,16 @@ def run_inverse(
     """Adam-optimize the density (and optionally albedo) grid to match
     the target.  Per-step fresh sample streams (seed + step) keep the
     gradient estimator unbiased across steps.  Returns (density, albedo,
-    losses)."""
-    loss_fn = make_loss_fn(scene_spec, camera_spec, settings, config)
+    losses).
+
+    Multi-view: pass a sequence of CameraSpec (e.g. orbit_camera_specs)
+    and a stacked (V, H, W, 3) target; the loss averages over views."""
+    if isinstance(camera_spec, (list, tuple)):
+        loss_fn = make_multiview_loss_fn(
+            scene_spec, camera_spec, settings, config
+        )
+    else:
+        loss_fn = make_loss_fn(scene_spec, camera_spec, settings, config)
     optimizer = optax.adam(config.learning_rate)
 
     if config.optimize_albedo:

@@ -86,13 +86,16 @@ def make_camera_look_at(
         ],
         dtype=np.float32,
     )
-    # Model-view columns are (right, new_up, -forward, eye); the uploaded
-    # inverse-view rows are the first three rows of that matrix.
+    # View-to-world columns are (right, -new_up, forward, eye): rays are
+    # generated as d_view = (x, y, 1) with raster y growing downward
+    # (generate_rays), so the z column is the viewing direction and the
+    # y column is negated — for the default pose (eye +z looking at the
+    # origin) this reproduces make_camera's matrix exactly.
     inv_view = np.stack(
         [
-            np.array([right[0], new_up[0], -forward[0], eye[0]], np.float32),
-            np.array([right[1], new_up[1], -forward[1], eye[1]], np.float32),
-            np.array([right[2], new_up[2], -forward[2], eye[2]], np.float32),
+            np.array([right[0], -new_up[0], forward[0], eye[0]], np.float32),
+            np.array([right[1], -new_up[1], forward[1], eye[1]], np.float32),
+            np.array([right[2], -new_up[2], forward[2], eye[2]], np.float32),
         ]
     )
     return Camera(inv_view=jnp.asarray(inv_view), raster_to_view=jnp.asarray(r2v))

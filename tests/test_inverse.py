@@ -14,6 +14,7 @@ from cudavolumerenderer_tpu.models.differentiable import (
 from cudavolumerenderer_tpu.models.inverse import (
     InverseConfig,
     load_checkpoint,
+    orbit_camera_specs,
     run_inverse,
 )
 from cudavolumerenderer_tpu.scene.types import RenderSettings
@@ -58,3 +59,38 @@ class TestInverse:
         d_ck, a_ck, step = load_checkpoint(str(tmp_path), 12)
         assert step == 12
         assert np.asarray(d_ck).shape == density.shape
+
+    def test_multiview_orbit_recovery(self):
+        spec, _, settings, density, albedo = setup()
+        cams = orbit_camera_specs(3, radius=100.0, res=(8, 8),
+                                  fov_x_deg=0.4)
+        # orbit poses actually differ (first is default -z pose, second
+        # views from the side)
+        img0 = render_diff(
+            density, albedo, 1, spec, cams[0], settings, (8, 8), 64
+        )
+        img1 = render_diff(
+            density, albedo, 1, spec, cams[1], settings, (8, 8), 64
+        )
+        assert float(jnp.max(jnp.abs(img0 - img1))) > 1e-3
+
+        targets = jnp.stack(
+            [
+                render_diff(
+                    density, albedo, 999 + v, spec, c, settings, (8, 8),
+                    256,
+                ) / 256.0
+                for v, c in enumerate(cams)
+            ]
+        )
+        config = InverseConfig(
+            resolution=(8, 8), spp=64, learning_rate=0.05, n_steps=10,
+        )
+        d0 = jnp.clip(density * 1.7, 0.0, 1.0)
+        d_fit, _, losses = run_inverse(
+            targets, d0, albedo, spec, cams, settings, config
+        )
+        assert losses[-1] < losses[0] * 0.8, losses
+        err0 = float(jnp.mean((d0 - density) ** 2))
+        err1 = float(jnp.mean((d_fit - density) ** 2))
+        assert err1 < err0

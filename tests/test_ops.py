@@ -117,6 +117,29 @@ class TestCamera:
             float(c.raster_to_view[0]), 1.0, rtol=1e-6
         )  # tan(45°)
 
+    def test_look_at_default_pose_matches_make_camera(self):
+        # regression: look_at used to store -forward/+up columns, so
+        # orbit/multi-view cameras shot away from the volume
+        a = camera.make_camera(64, 64, 0.7)
+        b = camera.make_camera_look_at(
+            (0.0, 0.0, 100.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 64, 64, 0.7
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.inv_view), np.asarray(b.inv_view), atol=1e-6
+        )
+
+    def test_look_at_center_ray_hits_target(self):
+        eye = (60.0, 30.0, 50.0)
+        c = camera.make_camera_look_at(
+            eye, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 64, 64, 0.7
+        )
+        r = rng.make_rng(0, jnp.arange(1))
+        o, d, _ = camera.generate_rays(
+            c, jnp.asarray([[31.5, 31.5]]), (64, 64), r
+        )
+        to_target = -np.asarray(eye) / np.linalg.norm(eye)
+        assert float(np.dot(np.asarray(d[0]), to_target)) > 0.999
+
 
 class TestGrid:
     def test_trilinear_matches_numpy(self):
