@@ -43,7 +43,7 @@ from ..ops.pallas import tracking as tk
 from ..ops.rng import RngState, make_rng, next_uint32
 from ..scene.types import RenderSettings, Scene
 from . import integrator
-from .fast import _stochastic_tap, make_fused_grid
+from .fast import _stochastic_tap, fused_row_decode, make_fused_grid
 
 MASKED = 4  # extra status: lane sat out the kernel round
 
@@ -207,7 +207,7 @@ def render_tile(
         iy = jnp.clip(tap[..., 1], 0, ny - 1)
         iz = jnp.clip(tap[..., 2], 0, nz - 1)
         row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)
-        alb_hat = row[..., :3]
+        _, alb_hat = fused_row_decode(scene, row)
         d_scat, rng = phase.sample_phase(d, med.g, rng, active=scattered)
         o = jnp.where(scattered[..., None], p_scat, o)
         d = jnp.where(scattered[..., None], d_scat, d)

@@ -83,22 +83,45 @@ _TAIL_CHAIN_WIDTH = 16384
 def make_fused_grid(scene: Scene) -> jnp.ndarray:
     """(Z*Y*X, 4) rows of (albedo.rgb, density).
 
-    With a constant albedo (a (1,1,1,C) grid) the fused table collapses
-    to a density-only flat (Z*Y*X,) vector: giant sparse scenes (the
-    BASELINE 1024^3 VDB class) then fit in HBM without materializing a
+    With a constant albedo (a (1,1,1,C) grid) or an albedo that is
+    affine in density (Medium.albedo_affine, detected at build time) the
+    fused table collapses to a density-only flat (Z*Y*X,) vector: the
+    tap gather runs on the faster 1-channel path and giant sparse scenes
+    (the BASELINE 1024^3 VDB class) fit in HBM without materializing a
     per-voxel albedo.  The table must stay 1-D — reshaping a 1024^3
     array to (V, 1) sends the XLA layout assigner into a multi-hour
     compile (measured; the flat reshape compiles in under a second).
     """
-    if _has_const_albedo(scene):
+    if _albedo_mode(scene) != "full":
         return scene.medium.density.data.reshape(-1)
     den = scene.medium.density.data.reshape(-1, 1)
     alb = scene.medium.albedo.data[..., :3].reshape(-1, 3)
     return jnp.concatenate([alb, den], axis=-1)
 
 
+def _albedo_mode(scene: Scene) -> str:
+    """'const' | 'affine' | 'full' — static (pytree-structural)."""
+    if all(s == 1 for s in scene.medium.albedo.data.shape[:3]):
+        return "const"
+    if scene.medium.albedo_affine is not None:
+        return "affine"
+    return "full"
+
+
 def _has_const_albedo(scene: Scene) -> bool:
-    return all(s == 1 for s in scene.medium.albedo.data.shape[:3])
+    return _albedo_mode(scene) == "const"
+
+
+def fused_row_decode(scene: Scene, row: jnp.ndarray):
+    """(rho, albedo.rgb) from fused-table gather rows of any mode."""
+    mode = _albedo_mode(scene)
+    if mode == "const":
+        alb = scene.medium.albedo.data.reshape(-1)[:3]
+        return row, jnp.broadcast_to(alb, row.shape + (3,))
+    if mode == "affine":
+        aff = scene.medium.albedo_affine
+        return row, row[..., None] * aff[0] + aff[1]
+    return row[..., -1], row[..., :3]
 
 
 def pick_brick(grid_shape_zyx) -> Tuple[int, int, int]:
@@ -286,20 +309,16 @@ def render_tile(
     scale = med.scale
     inv_sigmat = 1.0 / (scale * med.max_density)
     fused = make_fused_grid(scene)
-    const_alb = _has_const_albedo(scene)
-    if const_alb:
-        alb_const = med.albedo.data.reshape(-1)[:3]
+    flat_tab = _albedo_mode(scene) != "full"  # 1-D density-only table
 
     def row_rho(row):
         """Density channel of a fused-table gather (1-D table rows are
-        the densities themselves under constant albedo)."""
-        return row if const_alb else row[..., -1]
+        the densities themselves under constant/affine albedo)."""
+        return row if flat_tab else row[..., -1]
 
     def row_rho_alb(row):
         """Density + scatter albedo from a fused-table row batch."""
-        if const_alb:
-            return row, jnp.broadcast_to(alb_const, row.shape + (3,))
-        return row[..., -1], row[..., :3]
+        return fused_row_decode(scene, row)
     if two_level:
         bz_, by_, bx_ = pick_brick((nz, ny, nx))
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
@@ -545,7 +564,7 @@ def render_tile(
                 )
                 j0 = jnp.argmax(stopj, axis=-1)
                 any_stop = jnp.any(stopj, axis=-1)
-                if const_alb:
+                if flat_tab:
                     row0 = jnp.take_along_axis(rows, j0[..., None], axis=1)[
                         :, 0
                     ]

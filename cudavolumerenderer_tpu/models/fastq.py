@@ -33,7 +33,13 @@ from ..ops import aabb, camera as cam, phase
 from ..ops.rng import RngState, make_rng, next_float, next_uint32
 from ..scene.types import RenderSettings, Scene
 from . import integrator
-from .fast import BRICK, _stochastic_tap, brick_majorants, make_fused_grid
+from .fast import (
+    BRICK,
+    _stochastic_tap,
+    brick_majorants,
+    fused_row_decode,
+    make_fused_grid,
+)
 
 FLUSH_EVERY = 8
 REFILL_EVERY = 4
@@ -311,8 +317,7 @@ def render_tile(
         iy = jnp.clip(tap[..., 1], 0, ny - 1)
         iz = jnp.clip(tap[..., 2], 0, nz - 1)
         row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)
-        rho_hat = row[..., 3]
-        alb_hat = row[..., :3]
+        rho_hat, alb_hat = fused_row_decode(scene, row)
         u2, rng = next_float(rng, inside)
         if two_level:
             accepted = jnp.logical_and(

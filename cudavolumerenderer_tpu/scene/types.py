@@ -12,7 +12,7 @@ reference's template-instantiation matrix, Defines.h:93-118).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +31,14 @@ class Medium(NamedTuple):
     scale: jnp.ndarray  # () sigma_t multiplier
     max_density: jnp.ndarray  # ()
     g: jnp.ndarray  # () HG anisotropy (reference default 0, Volume.h:20)
+    #: (2, 3) [A; B] when albedo == A * density + B voxelwise (detected at
+    #: build time), else None.  Lets the fastSK fused table stay a flat
+    #: density-only vector — 1-channel gathers run ~1.4x faster than
+    #: 4-channel rows on v5e (PERF.md cost model) and the table shrinks
+    #: 4x.  Both the medical-class synthetic and the MHD red-channel
+    #: albedo convention (scripts/convert-mhd/mhd_to_vdb.py:61-74) are
+    #: affine in density.
+    albedo_affine: Optional[jnp.ndarray] = None
 
 
 class Bsdf(NamedTuple):
@@ -124,7 +132,15 @@ def make_medium(
         )
     if max_density is None:
         max_density = float(density_zyx.max())
+    affine = None
+    if (
+        isinstance(density_zyx, np.ndarray)
+        and isinstance(albedo_zyx, np.ndarray)
+        and albedo_zyx.shape[:3] == density_zyx.shape
+    ):
+        affine = _fit_albedo_affine(density_zyx, albedo_zyx)
     return Medium(
+        albedo_affine=None if affine is None else jnp.asarray(affine),
         density=Grid(data=jnp.asarray(density_zyx)),
         albedo=Grid(data=jnp.asarray(albedo_zyx)),
         box_min=jnp.asarray(box_min, jnp.float32),
@@ -133,6 +149,24 @@ def make_medium(
         max_density=jnp.asarray(max_density, jnp.float32),
         g=jnp.asarray(g, jnp.float32),
     )
+
+
+def _fit_albedo_affine(
+    density: np.ndarray, albedo: np.ndarray
+) -> Optional[np.ndarray]:
+    """Return (2, 3) [A; B] with albedo.rgb == A*density + B (exactly,
+    within float32 rounding) or None.  Host-side, build-time only."""
+    d = density.reshape(-1).astype(np.float32)
+    a = albedo[..., :3].reshape(-1, 3).astype(np.float32)
+    i_min, i_max = int(d.argmin()), int(d.argmax())
+    d0, d1 = float(d[i_min]), float(d[i_max])
+    if d1 - d0 < 1e-12:
+        return None
+    A = (a[i_max] - a[i_min]) / np.float32(d1 - d0)
+    B = a[i_min] - A * np.float32(d0)
+    if not np.allclose(a, d[:, None] * A + B, atol=2e-6, rtol=0.0):
+        return None
+    return np.stack([A, B]).astype(np.float32)
 
 
 def make_scene(
