@@ -166,3 +166,47 @@ class TestFastQ:
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+class TestAffineAlbedo:
+    """Affine-in-density albedo detection and the flat fused-table path."""
+
+    def test_detection(self):
+        dens = procedural.blob_volume()
+        alb = np.stack([dens, 0.5 * np.ones_like(dens), 1.0 - dens], -1)
+        med = make_medium(dens, alb, scale=40.0, max_density=1.0)
+        assert med.albedo_affine is not None
+        A, B = np.asarray(med.albedo_affine)
+        np.testing.assert_allclose(A, [1.0, 0.0, -1.0], atol=1e-6)
+        np.testing.assert_allclose(B, [0.0, 0.5, 1.0], atol=1e-6)
+        # non-affine albedo must not be detected
+        alb2 = alb.copy()
+        alb2[0, 0, 0, 1] += 0.25
+        med2 = make_medium(dens, alb2, scale=40.0, max_density=1.0)
+        assert med2.albedo_affine is None
+        # constant albedo stays on the const path, not affine
+        med3 = make_medium(dens, 0.9, scale=40.0, max_density=1.0)
+        assert med3.albedo_affine is None
+        assert fast._albedo_mode(make_scene(med3)) == "const"
+
+    def test_flat_table_matches_full_table(self):
+        """The 1-channel affine table must reproduce the 4-channel fused
+        table bit-for-bit (same draws, same taps, albedo = A*rho+B)."""
+        dens = procedural.blob_volume()
+        alb = np.stack([dens, 0.5 * np.ones_like(dens), 1.0 - dens], -1)
+        scene = make_scene(make_medium(dens, alb, scale=40.0, max_density=1.0))
+        assert fast._albedo_mode(scene) == "affine"
+        # full-table control: strip the detection result
+        scene_full = scene._replace(
+            medium=scene.medium._replace(albedo_affine=None)
+        )
+        assert fast._albedo_mode(scene_full) == "full"
+        for tl in (False, True):
+            args = make_args(scene, 24, 4)
+            a, nra = fast.render_tile(*args, two_level=tl)
+            args_full = make_args(scene_full, 24, 4)
+            b, nrb = fast.render_tile(*args_full, two_level=tl)
+            assert float(nra) == float(nrb)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            )
