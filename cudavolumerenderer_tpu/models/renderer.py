@@ -178,16 +178,20 @@ def make_kernel_fn(config: Config):
         return stream
     if k == Kernel.SORTING_SK:
         def sort(*args):
+            # Morton reorder + deferred coherent albedo access — the two
+            # halves of the reference strategy
+            # (SortingVolPTsk_kernel.cuh:105-176)
             return streaming.render_tile(
-                *args, n_lanes=config.n_lanes, sort_every=8
+                *args, n_lanes=config.n_lanes, sort_every=8,
+                defer_access=True,
             )
         return sort
     if k == Kernel.STREAMING_MK:
         def stream_mk(*args):
-            # host-looped flavor: smaller pool, host sync each call — the
-            # per-dispatch-overhead variant (reference semantics; perf
-            # intentionally dispatch-bound like the reference's MK family)
-            return streaming.render_tile(
+            # host-looped regenerate/extend/compact super-iterations with
+            # a device→host active-count sync per dispatch (reference:
+            # RenderKernelLauncher.cu:435-472)
+            return wavefront_mk.render_tile_streaming_mk(
                 *args, n_lanes=max(1024, config.n_lanes // 8)
             )
         return stream_mk

@@ -38,7 +38,20 @@ class Medium(NamedTuple):
     #: 4x.  Both the medical-class synthetic and the MHD red-channel
     #: albedo convention (scripts/convert-mhd/mhd_to_vdb.py:61-74) are
     #: affine in density.
+    #:
+    #: NOTE: the coefficients are fit against the build-time density.
+    #: Replacing `density` on an existing Medium (e.g. in an inverse
+    #: driver) invalidates them — use `with_density`, which clears the
+    #: fit, instead of a raw `_replace(density=...)`.
     albedo_affine: Optional[jnp.ndarray] = None
+
+    def with_density(self, density_zyx) -> "Medium":
+        """Replace the density grid, clearing the build-time affine-albedo
+        fit (which is only valid against the density it was fit to)."""
+        return self._replace(
+            density=Grid(data=jnp.asarray(density_zyx)),
+            albedo_affine=None,
+        )
 
 
 class Bsdf(NamedTuple):
@@ -164,8 +177,15 @@ def _fit_albedo_affine(
         return None
     A = (a[i_max] - a[i_min]) / np.float32(d1 - d0)
     B = a[i_min] - A * np.float32(d0)
-    if not np.allclose(a, d[:, None] * A + B, atol=2e-6, rtol=0.0):
-        return None
+    # validate in slabs with early exit: a full-grid (N, 3) reconstruction
+    # temp would cost ~12 GB host RAM at 1024^3 with per-voxel albedo
+    chunk = 1 << 24
+    for lo in range(0, d.shape[0], chunk):
+        hi = min(lo + chunk, d.shape[0])
+        if not np.allclose(
+            a[lo:hi], d[lo:hi, None] * A + B, atol=2e-6, rtol=0.0
+        ):
+            return None
     return np.stack([A, B]).astype(np.float32)
 
 

@@ -11,7 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cudavolumerenderer_tpu.models import naive, regeneration, streaming
+from cudavolumerenderer_tpu.models import (
+    naive,
+    regeneration,
+    streaming,
+    wavefront_mk,
+)
 from cudavolumerenderer_tpu.ops.camera import make_camera
 from cudavolumerenderer_tpu.scene import procedural
 from cudavolumerenderer_tpu.scene.types import (
@@ -61,6 +66,48 @@ class TestSchedulerAgreement:
             np.asarray(plain), np.asarray(sorted_), rtol=1e-5, atol=1e-5
         )
         assert float(nr_p) == float(nr_s)
+
+    def test_sorting_deferred_access_agrees(self):
+        """Full sortingSK: Morton reorder + deferred coherent albedo
+        fetch after the sort (SortingVolPTsk_kernel.cuh:105-147).  Lanes
+        stall between scatter and fetch, but per-path draw order is
+        preserved, so estimates are identical."""
+        args = scene_and_args(res=8, spp=4)
+        plain, nr_p = streaming.render_tile(*args, n_lanes=128)
+        deferred, nr_d = streaming.render_tile(
+            *args, n_lanes=128, sort_every=4, defer_access=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(deferred), rtol=1e-5, atol=1e-5
+        )
+        assert float(nr_p) == float(nr_d)
+
+    def test_sorting_deferred_no_rr(self):
+        """Deferred access with Russian roulette disabled (the thesis
+        benchmark setting) — flush applies only the albedo multiply."""
+        args = list(scene_and_args(res=8, spp=2))
+        args[2] = RenderSettings.from_flags(True, russian_roulette=False)
+        plain, _ = streaming.render_tile(*args, n_lanes=64)
+        deferred, _ = streaming.render_tile(
+            *args, n_lanes=64, sort_every=4, defer_access=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(deferred), rtol=1e-5, atol=1e-5
+        )
+
+    def test_streaming_mk_agrees(self):
+        """Real streamingMK: host-looped regenerate/extend/compact
+        super-iterations (RenderKernelLauncher.cu:435-472) computes the
+        identical estimate."""
+        args = scene_and_args(res=8, spp=4)
+        a, nr_a = streaming.render_tile(*args, n_lanes=128)
+        b, nr_b = wavefront_mk.render_tile_streaming_mk(
+            *args, n_lanes=128, k_steps=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+        assert float(nr_a) == float(nr_b)
 
     def test_naive_mk_agrees(self):
         """Host-looped naiveMK with device compaction matches naiveSK."""
