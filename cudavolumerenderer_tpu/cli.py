@@ -62,8 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument(
-        "--n-lanes", type=int, default=1 << 17,
-        help="wavefront pool size for regeneration/streaming schedulers",
+        "--n-lanes", type=int, default=None,
+        help="wavefront pool size for regeneration/streaming schedulers "
+        "(default: auto-tuned from work size and device memory)",
+    )
+    p.add_argument(
+        "--regeneration-level", type=int, default=0, choices=[0, 1, 2],
+        help="regeneration granularity: 0=per-lane (thread), 1=per-8-lane "
+        "group (warp analog), 2=per-1024-lane row (block analog)",
     )
     p.add_argument(
         "--mitsuba-comparable",
@@ -119,6 +125,7 @@ def config_from_args(args) -> Config:
         output_name=args.output,
         seed=args.seed,
         n_lanes=args.n_lanes,
+        regeneration_level=args.regeneration_level,
         two_level=args.two_level,
         lanes_per_pixel=args.lanes_per_pixel,
         settings=RenderSettings.from_flags(args.mitsuba_comparable),

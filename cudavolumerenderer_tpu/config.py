@@ -105,8 +105,15 @@ class Config:
     output_name: Optional[str] = None
     seed: int = 1234
     #: wavefront pool size for regeneration/streaming schedulers
-    #: (the persistent-thread grid-size analog)
-    n_lanes: int = 1 << 17
+    #: (the persistent-thread grid-size analog); None = auto-tuned from
+    #: the work size and device memory budget (utils/occupancy.py — the
+    #: cudaOccupancyMaxPotentialBlockSize analog, Occupancy.cuh:24-70)
+    n_lanes: Optional[int] = None
+    #: regeneration granularity level (reference:
+    #: REGENERATION_SYNCHRONIZATION_LEVEL, Defines.h:40-42): 0 = per-lane
+    #: (thread), 1 = per-8-lane sublane group (warp analog), 2 = per-1024
+    #: lane row block (block analog)
+    regeneration_level: int = 0
     #: samples per launch for the naive scheduler (memory bound)
     spp_per_launch: int = 4
     #: two-level (sparse-leap) tracking for fastSK/fastQ — wins on sparse

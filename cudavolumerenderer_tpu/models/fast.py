@@ -80,7 +80,7 @@ _TAIL_SPEC = 1
 _TAIL_CHAIN_WIDTH = 16384
 
 
-def make_fused_grid(scene: Scene) -> jnp.ndarray:
+def make_fused_grid(scene: Scene, mode: str = None) -> jnp.ndarray:
     """(Z*Y*X, 4) rows of (albedo.rgb, density).
 
     With a constant albedo (a (1,1,1,C) grid) or an albedo that is
@@ -91,20 +91,35 @@ def make_fused_grid(scene: Scene) -> jnp.ndarray:
     per-voxel albedo.  The table must stay 1-D — reshaping a 1024^3
     array to (V, 1) sends the XLA layout assigner into a multi-hour
     compile (measured; the flat reshape compiles in under a second).
+
+    'split' mode (HBM guard, utils/occupancy.plan_albedo_table): a full
+    per-voxel albedo too big to duplicate into the fused copy also uses
+    the flat density table; albedo is gathered straight from the scene
+    grid at accepted taps only.  Slower (a second big-table gather per
+    iteration) but saves the 16 B/voxel fused duplicate — the TPU
+    equivalent of the reference's zero-copy fallback (Config.h:135-148).
     """
-    if _albedo_mode(scene) != "full":
+    if (mode or _albedo_mode(scene)) != "full":
         return scene.medium.density.data.reshape(-1)
     den = scene.medium.density.data.reshape(-1, 1)
     alb = scene.medium.albedo.data[..., :3].reshape(-1, 3)
     return jnp.concatenate([alb, den], axis=-1)
 
 
-def _albedo_mode(scene: Scene) -> str:
-    """'const' | 'affine' | 'full' — static (pytree-structural)."""
+def _albedo_mode(scene: Scene, allow_split: bool = False) -> str:
+    """'const' | 'affine' | 'full' | 'split' — static
+    (pytree-structural, plus the device-memory plan for 'split')."""
     if all(s == 1 for s in scene.medium.albedo.data.shape[:3]):
         return "const"
     if scene.medium.albedo_affine is not None:
         return "affine"
+    if allow_split:
+        from ..utils import occupancy
+
+        if occupancy.plan_albedo_table(
+            scene.medium.density.data.shape
+        ) == "split":
+            return "split"
     return "full"
 
 
@@ -113,7 +128,9 @@ def _has_const_albedo(scene: Scene) -> bool:
 
 
 def fused_row_decode(scene: Scene, row: jnp.ndarray):
-    """(rho, albedo.rgb) from fused-table gather rows of any mode."""
+    """(rho, albedo.rgb) from fused-table gather rows (const/affine/full
+    modes; 'split' gathers albedo by tap index instead — see
+    render_tile's tap_albedo)."""
     mode = _albedo_mode(scene)
     if mode == "const":
         alb = scene.medium.albedo.data.reshape(-1)[:3]
@@ -308,17 +325,27 @@ def render_tile(
     extent = med.box_max - med.box_min
     scale = med.scale
     inv_sigmat = 1.0 / (scale * med.max_density)
-    fused = make_fused_grid(scene)
-    flat_tab = _albedo_mode(scene) != "full"  # 1-D density-only table
+    albedo_mode = _albedo_mode(scene, allow_split=True)
+    fused = make_fused_grid(scene, albedo_mode)
+    flat_tab = albedo_mode != "full"  # 1-D density-only table
+    if albedo_mode == "split":
+        albedo_flat3 = med.albedo.data[..., :3].reshape(-1, 3)
 
     def row_rho(row):
         """Density channel of a fused-table gather (1-D table rows are
-        the densities themselves under constant/affine albedo)."""
+        the densities themselves under constant/affine/split albedo)."""
         return row if flat_tab else row[..., -1]
 
-    def row_rho_alb(row):
-        """Density + scatter albedo from a fused-table row batch."""
-        return fused_row_decode(scene, row)
+    def tap_albedo(row, tap_flat, mask):
+        """Scatter albedo for lanes in `mask`: decoded from the fused
+        row (const/affine/full), or gathered from the scene albedo grid
+        at the accepted tap ('split' — the HBM-guard degradation that
+        avoids the 16 B/voxel fused duplicate)."""
+        if albedo_mode == "split":
+            return jnp.take(
+                albedo_flat3, jnp.where(mask, tap_flat, 0), axis=0
+            )
+        return fused_row_decode(scene, row)[1]
     if two_level:
         bz_, by_, bx_ = pick_brick((nz, ny, nx))
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
@@ -507,12 +534,13 @@ def render_tile(
                 row = jnp.take(
                     fused, jnp.where(inside, tap_flat, 0), axis=0
                 )  # (N, 4)
-                rho_hat, alb_hat = row_rho_alb(row)
+                rho_hat = row_rho(row)
                 u2, rng = next_float(rng, inside)
                 accepted = jnp.logical_and(
                     inside,
                     jnp.logical_not(scale * rho_hat * inv_sig_local < u2),
                 )
+                alb_hat = tap_albedo(row, tap_flat, accepted)
                 advance = inside
                 t_adv = t_cand
             else:
@@ -585,7 +613,10 @@ def render_tile(
                     stepping,
                     jnp.logical_and(any_stop, jnp.logical_not(acc0)),
                 )
-                _, alb_hat = row_rho_alb(row0)
+                tap0 = jnp.take_along_axis(idxk, j0[..., None], axis=1)[
+                    :, 0
+                ]
+                alb_hat = tap_albedo(row0, tap0, accepted)
                 # no stop within K valid steps: advance and keep tracking
                 advance = jnp.logical_and(
                     stepping,
@@ -634,8 +665,9 @@ def render_tile(
             ix = jnp.clip(tap[..., 0], 0, nx - 1)
             iy = jnp.clip(tap[..., 1], 0, ny - 1)
             iz = jnp.clip(tap[..., 2], 0, nz - 1)
-            row = jnp.take(fused, (iz * ny + iy) * nx + ix, axis=0)  # (N,4)
-            rho_hat, alb_hat = row_rho_alb(row)
+            tap_flat = (iz * ny + iy) * nx + ix
+            row = jnp.take(fused, tap_flat, axis=0)  # (N,4)
+            rho_hat = row_rho(row)
             u2, rng = next_float(rng, step_mask)
             overran = t_new > max_t
             accepted = jnp.logical_not(scale * rho_hat * inv_sigmat < u2)
@@ -645,6 +677,7 @@ def render_tile(
             scattered = jnp.logical_and(
                 terminated, jnp.logical_not(overran)
             )
+            alb_hat = tap_albedo(row, tap_flat, scattered)
             t = t_new
             tracking = jnp.logical_and(
                 tracking, jnp.logical_not(terminated)

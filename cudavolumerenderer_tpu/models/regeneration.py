@@ -38,11 +38,35 @@ def _regenerate(
     camera: cam.Camera,
     seed,
     path_id_base,
+    refill_group: int = 1,
 ):
-    """Refill dead lanes with fresh paths from the deterministic queue."""
+    """Refill dead lanes with fresh paths from the deterministic queue.
+
+    refill_group re-expresses the reference's regeneration granularity
+    axis (REGENERATION_SYNCHRONIZATION_LEVEL 0/1/2: per-thread, per-warp
+    via __shfl_sync broadcast, per-block via shared counters —
+    RegenerationVolPTsk_kernel.cuh:22-141,238-352): a group of
+    `refill_group` consecutive lanes refills only once EVERY lane in the
+    group is dead, and then refills together.  1 = thread-level (each
+    lane independently), 8 = the VPU sublane-group analog of a warp,
+    1024 = the lane-row analog of a block.  The estimator is unchanged
+    (streams stay keyed by (seed, path_id)); only queue-pull cadence and
+    lane idle time differ — thesis Tables 4.3/4.4 measure this axis.
+    """
     tw, th = tile_dim
     n_pix = tw * th
     dead = jnp.logical_not(carry_state.alive)
+    if refill_group > 1:
+        g = refill_group
+        n = dead.shape[0]
+        # groups wait for their whole membership to die before pulling
+        # new work (lanes past a non-multiple tail refill individually)
+        n_full = (n // g) * g
+        if n_full > 0:
+            dead_g = jnp.all(dead[:n_full].reshape(-1, g), axis=1)
+            dead = jnp.concatenate(
+                [jnp.repeat(dead_g, g), dead[n_full:]]
+            )
     # Prefix-sum allocation: k-th dead lane gets id paths_issued + k.
     rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
     new_id = paths_issued + rank
@@ -81,7 +105,8 @@ def _regenerate(
 @partial(
     jax.jit,
     static_argnames=(
-        "settings", "tile_dim", "full_resolution", "spp", "n_lanes"
+        "settings", "tile_dim", "full_resolution", "spp", "n_lanes",
+        "refill_group",
     ),
 )
 def render_tile(
@@ -95,6 +120,7 @@ def render_tile(
     seed,
     path_id_base,
     n_lanes: int = 1 << 16,
+    refill_group: int = 1,
 ):
     """Render a tile with a fixed lane pool regenerated from a path queue.
 
@@ -134,6 +160,7 @@ def render_tile(
         state, image_id, paths_issued = _regenerate(
             state, image_id, paths_issued, n_paths, tile_dim, tile_offset,
             full_resolution, camera, seed, path_id_base,
+            refill_group=refill_group,
         )
         was_alive = state.alive
         state = integrator.bounce_step(scene, settings, state)

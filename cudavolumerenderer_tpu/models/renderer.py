@@ -20,6 +20,7 @@ import numpy as np
 from ..config import Config, Kernel
 from ..ops.camera import Camera
 from ..scene.types import Scene
+from ..utils import occupancy
 from . import brick, fast, fastq, naive, regeneration, streaming, wavefront_mk
 
 
@@ -50,6 +51,17 @@ class ProgressiveTiledRenderer:
         tiling = config.tiling
         self.tile_dim = tiling.tile_dim
         self.tiles = _tile_array(config.n_tiles, self.tile_dim)
+        grid_shape = scene.medium.density.data.shape
+        if config.n_lanes is None:
+            # occupancy auto-tune (reference: Occupancy.cuh:24-70 via
+            # RenderKernelLauncher init): pool width from the per-tile
+            # work and the device memory budget
+            config.n_lanes = occupancy.pick_n_lanes(
+                self.tile_dim[0] * self.tile_dim[1],
+                config.iterations, grid_shape,
+            )
+        else:
+            occupancy.validate_pool(config.n_lanes, grid_shape)
         self.kernel_fn = make_kernel_fn(config)
         self.init_rendering()
 
@@ -169,8 +181,12 @@ def make_kernel_fn(config: Config):
     if k == Kernel.NAIVE_MK:
         return wavefront_mk.render_tile
     if k == Kernel.REGENERATION_SK:
+        group = {0: 1, 1: 8, 2: 1024}[config.regeneration_level]
+
         def regen(*args):
-            return regeneration.render_tile(*args, n_lanes=config.n_lanes)
+            return regeneration.render_tile(
+                *args, n_lanes=config.n_lanes, refill_group=group
+            )
         return regen
     if k == Kernel.STREAMING_SK:
         def stream(*args):

@@ -95,6 +95,21 @@ class TestSchedulerAgreement:
             np.asarray(plain), np.asarray(deferred), rtol=1e-5, atol=1e-5
         )
 
+    def test_regeneration_granularity_agrees(self):
+        """The regeneration-granularity axis (thread/warp/block analogs:
+        refill_group 1/8/1024, reference Defines.h:40-42) changes only
+        queue-pull cadence, never the estimate."""
+        args = scene_and_args(res=8, spp=4)
+        base, nr0 = regeneration.render_tile(*args, n_lanes=256)
+        for group in (8, 64):
+            img, nr = regeneration.render_tile(
+                *args, n_lanes=256, refill_group=group
+            )
+            np.testing.assert_allclose(
+                np.asarray(base), np.asarray(img), rtol=1e-5, atol=1e-5
+            )
+            assert float(nr0) == float(nr)
+
     def test_streaming_mk_agrees(self):
         """Real streamingMK: host-looped regenerate/extend/compact
         super-iterations (RenderKernelLauncher.cu:435-472) computes the
