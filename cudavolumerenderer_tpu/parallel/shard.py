@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.camera import Camera
 from ..scene.types import RenderSettings, Scene
-from ..models import naive, streaming
+from ..models import fast, naive, streaming
 
 
 def render_sharded(
@@ -40,10 +40,18 @@ def render_sharded(
     mesh: Mesh,
     kernel: str = "streaming",
     n_lanes: int = 1 << 16,
+    two_level: bool = False,
+    lanes_per_pixel: int = 1,
 ):
     """Render `spp` total samples/pixel sharded over the mesh's 'rays'
     axis.  spp must be divisible by the axis size.  Returns (image,
-    n_rays) replicated on all devices."""
+    n_rays) replicated on all devices.
+
+    kernel: 'streaming' | 'naive' | 'fast' (the flagship scheduler,
+    optionally with two-level sparse-leap tracking).  Sample path ids
+    are contiguous blocks per shard, so the union over shards is the
+    same id set a single-device render uses — shard invariance holds by
+    construction for every kernel."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     if spp % n_dev != 0:
@@ -55,7 +63,14 @@ def render_sharded(
     def shard_fn(scene_r, camera_r):
         idx = jax.lax.axis_index(axis)
         base = (idx * n_pix * spp_shard).astype(jnp.uint32)
-        if kernel == "streaming":
+        if kernel == "fast":
+            img, n_rays = fast.render_tile(
+                scene_r, camera_r, settings, resolution,
+                jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
+                base, lanes_per_pixel=lanes_per_pixel,
+                two_level=two_level,
+            )
+        elif kernel == "streaming":
             img, n_rays = streaming.render_tile(
                 scene_r, camera_r, settings, resolution,
                 jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
@@ -86,6 +101,7 @@ def make_inverse_step(
     spp_per_device: int,
     mesh: Mesh,
     optimizer,
+    two_level: bool = False,
 ):
     """Build the sharded inverse-rendering training step.
 
@@ -93,8 +109,11 @@ def make_inverse_step(
     the target, backprop through the path-replay custom_vjp
     (models/differentiable.py), then psum the per-voxel gradients across
     the 'rays' axis — the all-reduce the reference never needed but
-    BASELINE.json demands for the differentiable pass.  Returns a jitted
-    step: (params, opt_state, target, seed) → (params, opt_state, loss).
+    BASELINE.json demands for the differentiable pass.  two_level=True
+    runs the sparse-leap stochastic-tap estimator family — the one
+    big-grid recoveries (BASELINE config 5, 256^3+) require.  Returns a
+    jitted step: (params, opt_state, target, seed) →
+    (params, opt_state, loss).
     """
     from ..models.differentiable import render_diff
 
@@ -106,7 +125,7 @@ def make_inverse_step(
     def per_device_loss(density, albedo, target, seed):
         img = render_diff(
             density, albedo, seed, scene_spec, camera_spec, settings,
-            resolution, spp_per_device,
+            resolution, spp_per_device, two_level,
         ) / float(spp_per_device)
         return jnp.mean((img - target) ** 2)
 
