@@ -576,7 +576,7 @@ def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
     return final
 
 
-def _lane_setup(camera_spec, resolution, spp, seed):
+def _lane_setup(camera_obj, resolution, spp, seed):
     tw, th = resolution
     n_lanes = tw * th * spp
     image_id, pixel_xy = naive.lane_pixels(
@@ -585,7 +585,7 @@ def _lane_setup(camera_spec, resolution, spp, seed):
     path_id = jnp.arange(n_lanes, dtype=jnp.uint32)
     rng = make_rng(seed, path_id)
     o0, d0, rng = cam.generate_rays(
-        camera_spec.build(), pixel_xy, resolution, rng
+        camera_obj, pixel_xy, resolution, rng
     )
     return n_lanes, image_id, o0, d0, rng
 
@@ -604,6 +604,7 @@ def render_diff(
     resolution: Tuple[int, int],
     spp: int,
     two_level: bool = False,
+    camera=None,
 ):
     """Differentiable render: image (H, W, 3) from grid parameters.
 
@@ -612,13 +613,19 @@ def render_diff(
     AND backward to the sparse-leap stochastic-tap estimator family
     (fastSK's) — required for large sparse grids where global-majorant
     tracking is intractable.
+
+    `camera` (optional, TRACED ops.camera.Camera pytree, zero cotangent)
+    overrides camera_spec's pose: multi-view optimization cycles camera
+    values through ONE compiled step instead of recompiling the replay
+    per view.
     """
     scene = scene_spec.build(density_data, albedo_data)
+    cam_obj = camera if camera is not None else camera_spec.build()
     tw, th = resolution
     if two_level:
         tables = _build_brick_tab(density_data)
         n_lanes, image_id, o0, d0, rng = _lane_setup(
-            camera_spec, resolution, spp, seed
+            cam_obj, resolution, spp, seed
         )
         zero_d = jnp.zeros((0,), jnp.float32)
         zero_a = jnp.zeros((0, albedo_data.shape[-1]), jnp.float32)
@@ -635,28 +642,29 @@ def render_diff(
         )
         return img.reshape(th, tw, 3)
     img, _ = naive.render_tile(
-        scene, camera_spec.build(), settings, resolution,
+        scene, cam_obj, settings, resolution,
         jnp.zeros(2, jnp.float32), resolution, spp, seed, 0,
     )
     return img
 
 
 def _fwd(density_data, albedo_data, seed, scene_spec, camera_spec,
-         settings, resolution, spp, two_level=False):
+         settings, resolution, spp, two_level=False, camera=None):
     img = render_diff(
         density_data, albedo_data, seed, scene_spec, camera_spec,
-        settings, resolution, spp, two_level,
+        settings, resolution, spp, two_level, camera,
     )
-    return img, (density_data, albedo_data, seed)
+    return img, (density_data, albedo_data, seed, camera)
 
 
 def _bwd(scene_spec, camera_spec, settings, resolution, spp, two_level,
          residuals, g_img):
-    density_data, albedo_data, seed = residuals
+    density_data, albedo_data, seed, camera = residuals
     scene = scene_spec.build(density_data, albedo_data)
+    cam_obj = camera if camera is not None else camera_spec.build()
     tables = _build_brick_tab(density_data) if two_level else None
     n_lanes, image_id, o0, d0, rng = _lane_setup(
-        camera_spec, resolution, spp, seed
+        cam_obj, resolution, spp, seed
     )
 
     zero_d = jnp.zeros((density_data.size,), jnp.float32)
@@ -691,7 +699,13 @@ def _bwd(scene_spec, camera_spec, settings, resolution, spp, two_level,
     import numpy as _np
 
     ct_seed = _np.zeros(jnp.shape(seed), jax.dtypes.float0)
-    return d_density, d_albedo, ct_seed
+    # camera pose is a parameter of the estimator, not a differentiated
+    # quantity: zero cotangent (None camera stays None)
+    ct_camera = (
+        None if camera is None
+        else jax.tree_util.tree_map(jnp.zeros_like, camera)
+    )
+    return d_density, d_albedo, ct_seed, ct_camera
 
 
 render_diff.defvjp(_fwd, _bwd)

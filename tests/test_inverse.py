@@ -15,8 +15,12 @@ from cudavolumerenderer_tpu.models.inverse import (
     InverseConfig,
     load_checkpoint,
     orbit_camera_specs,
+    render_view_targets,
     run_inverse,
+    run_inverse_pyramid,
+    upsample_density,
 )
+from cudavolumerenderer_tpu.scene import procedural
 from cudavolumerenderer_tpu.scene.types import RenderSettings
 
 
@@ -94,3 +98,43 @@ class TestInverse:
         err0 = float(jnp.mean((d0 - density) ** 2))
         err1 = float(jnp.mean((d_fit - density) ** 2))
         assert err1 < err0
+
+    def test_pyramid_multiview_recovery_from_flat_init(self):
+        """The BASELINE config 5 recipe at CI scale: recover a 12^3 blob
+        grid from a FLAT init (no structure leaked) via multi-view
+        orbit targets + coarse-to-fine pyramid + TV prior, with the
+        two-level estimator and the traced-camera single-compile loss.
+        The full-scale run is benchmarks/inverse_256.py."""
+        gt = jnp.asarray(procedural.blob_volume((12, 12, 12), n_blobs=3))
+        albedo = jnp.full((1, 1, 1, 4), 0.6, jnp.float32)
+        spec = SceneSpec(scale=16.0, max_density=1.0)
+        settings = RenderSettings.from_flags(
+            True, russian_roulette=False, max_path_length=24
+        )
+        views = orbit_camera_specs(
+            4, radius=100.0, res=(16, 16), fov_x_deg=0.8
+        )
+        targets = render_view_targets(
+            gt, albedo, spec, views, settings, (16, 16), 48, True
+        )
+        config = InverseConfig(
+            resolution=(16, 16), spp=12, learning_rate=0.08, seed=5,
+            two_level=True, tv_weight=1e-3, views_per_step=2,
+        )
+        dens, losses = run_inverse_pyramid(
+            targets, views, albedo, spec, settings, config,
+            levels=[(6, 10), (12, 14)], init_value=0.25,
+        )
+        gtn = np.asarray(gt)
+        mse0 = float(((0.25 - gtn) ** 2).mean())
+        mse1 = float(((np.asarray(dens) - gtn) ** 2).mean())
+        # measured 0.38 with these exact (deterministic) seeds
+        assert mse1 / mse0 < 0.6, (mse0, mse1)
+        assert losses[-1][-1] < losses[0][0] * 0.3
+
+    def test_upsample_density(self):
+        d = jnp.asarray(np.random.RandomState(1).rand(4, 4, 4))
+        up = upsample_density(d, (8, 8, 8))
+        assert up.shape == (8, 8, 8)
+        # trilinear resize preserves the mean approximately
+        assert abs(float(up.mean()) - float(d.mean())) < 0.05
