@@ -24,6 +24,15 @@ from ..utils import occupancy
 from . import brick, fast, fastq, naive, regeneration, streaming, wavefront_mk
 
 
+#: kernels whose render_tile is a pure jittable function of
+#: (tile_offset, path_id_base) — safe to lax.map over tiles.  The MK
+#: family host-loops by design (its dispatch overhead IS the strategy).
+_BATCHABLE = frozenset({
+    Kernel.FAST_SK, Kernel.FAST_Q, Kernel.NAIVE_SK,
+    Kernel.REGENERATION_SK, Kernel.STREAMING_SK, Kernel.SORTING_SK,
+})
+
+
 def _tile_array(
     n_tiles: Tuple[int, int], tile_dim: Tuple[int, int]
 ) -> List[Tuple[int, int]]:
@@ -137,8 +146,26 @@ class ProgressiveTiledRenderer:
         self, progress_callback: Optional[Callable[[float], None]] = None
     ) -> np.ndarray:
         """Full batch render (reference: CudaVolPath::render,
-        CudaVolPath.cpp:339-347)."""
+        CudaVolPath.cpp:339-347).
+
+        Multi-tile configurations run all tiles inside ONE device
+        dispatch (lax.map over tile origins) — the reference pays a
+        kernel launch per tile and degrades hard at small tiles (thesis
+        Table 4.2: 98 s at 64x64 tiles); here the per-tile host
+        round-trip disappears entirely."""
         self.init_rendering()
+        tw, th = self.tile_dim
+        lanes_ok = (
+            self.config.kernel != Kernel.NAIVE_SK
+            or tw * th * self.config.iterations <= (1 << 22)
+        )
+        if (
+            len(self.tiles) > 1
+            and self.config.kernel in _BATCHABLE
+            and lanes_ok
+        ):
+            self._render_all_tiles_batched()
+            return self.get_image()
         total = len(self.tiles) * self.config.iterations
         while not self.image_complete():
             self.run_iterations(spp=self._spp_per_launch())
@@ -147,6 +174,45 @@ class ProgressiveTiledRenderer:
                     float(self.iterations_done.sum()) / total
                 )
         return self.get_image()
+
+    def _render_all_tiles_batched(self) -> None:
+        """One dispatch for every tile: lax.map over (origin, id-base),
+        on-device image assembly.  Bit-identical to the sequential tile
+        loop (same per-tile kernel calls, same path ids)."""
+        import jax
+
+        cfg = self.config
+        spp = cfg.iterations
+        tw, th = self.tile_dim
+        w, hres = cfg.resolution
+        ntx, nty = cfg.n_tiles
+        offsets = jnp.asarray(self.tiles, jnp.float32)  # (T, 2)
+        bases = (
+            jnp.asarray(self.path_id_base, jnp.uint32)
+            + jnp.arange(len(self.tiles), dtype=jnp.uint32)
+            * jnp.uint32(tw * th * spp)
+        )
+        kernel_fn = self.kernel_fn
+        scene, camera, settings = self.scene, self.camera, self.settings
+
+        def one(args):
+            off, base = args
+            return kernel_fn(
+                scene, camera, settings, (tw, th), off, (w, hres), spp,
+                cfg.seed, base,
+            )
+
+        imgs, nrs = jax.lax.map(one, (offsets, bases))  # (T, th, tw, 3)
+        # row-major tile array → padded image → crop to resolution
+        padded = (
+            imgs.reshape(nty, ntx, th, tw, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nty * th, ntx * tw, 3)
+        )
+        self._accum_dev = self._accum_dev + padded[:hres, :w]
+        self._n_rays_dev = self._n_rays_dev + jnp.sum(nrs)
+        self.path_id_base += len(self.tiles) * tw * th * spp
+        self.iterations_done[:] = spp
 
     def _spp_per_launch(self) -> int:
         if self.config.kernel in (Kernel.NAIVE_SK, Kernel.NAIVE_MK):

@@ -1,0 +1,69 @@
+"""ProgressiveTiledRenderer: batched on-device tile dispatch must equal
+the sequential per-tile loop exactly (same kernel calls, same path ids),
+including ragged edges where ceil-division tiles overhang the image."""
+
+import numpy as np
+import pytest
+
+from cudavolumerenderer_tpu.config import Config, Kernel
+from cudavolumerenderer_tpu.models.renderer import create_renderer
+from cudavolumerenderer_tpu.ops.camera import make_camera
+from cudavolumerenderer_tpu.scene import procedural
+from cudavolumerenderer_tpu.scene.types import (
+    RenderSettings,
+    make_medium,
+    make_scene,
+)
+
+
+def _scene():
+    d = procedural.blob_volume((16, 16, 16), n_blobs=3)
+    return make_scene(make_medium(d, 0.8, scale=20.0, max_density=1.0))
+
+
+def _render_sequential(scene, camera, config):
+    r = create_renderer(scene, camera, config)
+    r.init_rendering()
+    while not r.image_complete():
+        r.run_iterations(spp=r._spp_per_launch())
+    return r.get_image(), r.n_rays
+
+
+@pytest.mark.parametrize(
+    "kernel", [Kernel.FAST_SK, Kernel.STREAMING_SK, Kernel.NAIVE_SK]
+)
+@pytest.mark.parametrize("tiles,res", [((2, 2), 16), ((3, 2), 20)])
+def test_batched_tiles_equal_sequential(kernel, tiles, res):
+    scene = _scene()
+    camera = make_camera(res, res)
+    cfg = dict(
+        kernel=kernel, iterations=4, resolution=(res, res),
+        n_tiles=tiles, n_lanes=256,
+        settings=RenderSettings.from_flags(True),
+    )
+    img_seq, nr_seq = _render_sequential(scene, camera, Config(**cfg))
+    r = create_renderer(scene, camera, Config(**cfg))
+    img_bat = r.render()
+    assert r.image_complete()
+    np.testing.assert_allclose(img_bat, img_seq, rtol=1e-6, atol=1e-6)
+    assert float(r.n_rays) == float(nr_seq)
+
+
+def test_ragged_tiles_cover_image():
+    """20x20 image with 3x3 ceil-division tiles (7x7 tile dim, one-pixel
+    overhang per edge): every pixel rendered exactly once."""
+    scene = _scene()
+    res = 20
+    camera = make_camera(res, res)
+    cfg = Config(
+        kernel=Kernel.FAST_SK, iterations=2, resolution=(res, res),
+        n_tiles=(3, 3),
+        settings=RenderSettings.from_flags(True, russian_roulette=False),
+    )
+    r = create_renderer(scene, camera, cfg)
+    img = r.render()
+    assert img.shape == (res, res, 3)
+    assert np.isfinite(img).all()
+    # RR off + constant environment: every path escapes with positive
+    # throughput, so no pixel can stay black
+    assert (img > 0).all()
