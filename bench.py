@@ -71,13 +71,14 @@ def main() -> int:
             return 0.0
         return n_rays / (elapsed * 1e6)
 
-    # best of 3 timed runs, each with a fresh seed: the axon tunnel
-    # sometimes reuses results for identical repeat executions and has
-    # high run-to-run variance (see PERF.md)
-    mrays = 0.0
-    for _ in range(3):
+    # Reference protocol (Main.cpp:100-119): N trials, discard the
+    # first, report the MEAN.  Fresh seed per trial so the tunnel cannot
+    # reuse results for identical repeat executions (PERF.md pitfall).
+    trials = []
+    for _ in range(4):
         config.seed += 1
-        mrays = max(mrays, timed_render())
+        trials.append(timed_render())
+    mrays = sum(trials[1:]) / len(trials[1:])
 
     baseline_mrays = 10.96  # reference regenerationSK(thread), bucky 32^3
     print(

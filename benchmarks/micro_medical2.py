@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Round-2 medical-class experiments (VERDICT r1 item 2).
+
+Sweeps the two-level brick size (probe-table size vs majorant
+tightness) and lanes_per_pixel on the 256^3 medical-class scene.
+Tighter bricks cut candidate Woodcock steps (each step = one big-table
+gather, the measured bottleneck at ~88 M rows/s) at the cost of a
+bigger (B, 2) probe table that may fall off the ~367 M rows/s
+small-table gather path.
+
+Timing discipline per PERF.md: host-readback fences, discard rep 0.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--res", type=int, default=512)
+    parser.add_argument("--spp", type=int, default=4)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--out", default="benchmarks/results_medical2.json")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from cudavolumerenderer_tpu.models import fast
+    from cudavolumerenderer_tpu.ops.camera import make_camera
+    from cudavolumerenderer_tpu.scene import procedural
+    from cudavolumerenderer_tpu.scene.types import (
+        RenderSettings,
+        make_medium,
+        make_scene,
+    )
+
+    d = procedural.medical_volume((256, 256, 256), n_blobs=40)
+    alb = np.stack([d, 0.5 * np.ones_like(d), 1.0 - d], axis=-1)
+    scene = make_scene(make_medium(d, alb, scale=100.0, max_density=1.0))
+    res = args.res
+    camera = make_camera(res, res)
+    settings = RenderSettings.from_flags(True)
+
+    results = {}
+    for max_bricks, label in [
+        (65536, "8x8x8"),
+        (131072, "4x4x8"),
+        (262144, "4x4x4"),
+    ]:
+        for m in (1, 2):
+            key = f"bricks={label},m={m}"
+            times, rays = [], 0.0
+            for rep in range(args.reps + 1):
+                seed = 100 + rep
+                t0 = time.perf_counter()
+                img, nr = fast.render_tile(
+                    scene, camera, settings, (res, res),
+                    jnp.zeros(2, jnp.float32), (res, res), args.spp,
+                    seed, 0, lanes_per_pixel=m, two_level=True,
+                    max_bricks=max_bricks,
+                )
+                rays = float(nr)  # host readback = fence
+                _ = float(img.sum())
+                dt = time.perf_counter() - t0
+                if rep > 0:  # discard compile/warmup rep
+                    times.append(dt)
+            best = min(times)
+            mrays = rays / best / 1e6
+            results[key] = {
+                "times_s": [round(t, 3) for t in times],
+                "mrays_per_s": round(mrays, 2),
+            }
+            print(f"{key:24s} {times} -> {mrays:6.2f} Mrays/s", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, ".")
+    sys.exit(main())

@@ -141,16 +141,20 @@ def fused_row_decode(scene: Scene, row: jnp.ndarray):
     return row[..., -1], row[..., :3]
 
 
-def pick_brick(grid_shape_zyx) -> Tuple[int, int, int]:
+def pick_brick(grid_shape_zyx, max_bricks: int = _MAX_BRICKS) -> Tuple[int, int, int]:
     """Smallest brick (tightest majorants) whose brick count fits the
-    fast gather path."""
+    fast gather path.  max_bricks trades probe-table gather speed
+    against majorant tightness (fewer candidate steps): the default
+    keeps the (B, 2) table on the measured ~367 M rows/s path; raising
+    it gives tighter majorants at a slower probe (sweep:
+    benchmarks/micro_medical2.py)."""
     nz, ny, nx = grid_shape_zyx
     for bz, by, bx in (
-        (4, 4, 8), (8, 8, 8), (8, 8, 16), (16, 16, 16), (16, 16, 32),
-        (32, 32, 32), (32, 32, 64),
+        (4, 4, 4), (4, 4, 8), (8, 8, 8), (8, 8, 16), (16, 16, 16),
+        (16, 16, 32), (32, 32, 32), (32, 32, 64),
     ):
         n_bricks = -(-nz // bz) * -(-ny // by) * -(-nx // bx)
-        if n_bricks <= _MAX_BRICKS:
+        if n_bricks <= max_bricks:
             return (bz, by, bx)
     return (64, 64, 64)
 
@@ -294,7 +298,7 @@ def _cascade_widths(n_lanes: int):
     jax.jit,
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
-        "two_level", "with_stats",
+        "two_level", "with_stats", "max_bricks",
     ),
 )
 def render_tile(
@@ -310,6 +314,7 @@ def render_tile(
     lanes_per_pixel: int = 1,
     two_level: bool = False,
     with_stats: bool = False,
+    max_bricks: int = _MAX_BRICKS,
 ):
     tw, th = tile_dim
     n_pix = tw * th
@@ -347,7 +352,7 @@ def render_tile(
             )
         return fused_row_decode(scene, row)[1]
     if two_level:
-        bz_, by_, bx_ = pick_brick((nz, ny, nx))
+        bz_, by_, bx_ = pick_brick((nz, ny, nx), max_bricks)
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
         major = brick_majorants(med.density.data, (bz_, by_, bx_))
         # world-space edge of the safe Chebyshev ball around a brick
