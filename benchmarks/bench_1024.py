@@ -55,6 +55,11 @@ def main() -> int:
     parser.add_argument("--res", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--bwd", action="store_true")
+    parser.add_argument(
+        "--brick-major", action="store_true",
+        help="8^3 brick-major flat-table layout (texture-locality analog)",
+    )
+    parser.add_argument("--defer-ggx", type=int, default=0)
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -85,6 +90,7 @@ def main() -> int:
         tile_dim=(res, res), tile_offset=jnp.zeros(2, jnp.float32),
         full_resolution=(res, res), spp=args.iters,
         two_level=True, with_stats=True,
+        brick_major=args.brick_major, defer_ggx=args.defer_ggx,
     )
     out = fast.render_tile(seed=1, path_id_base=0, **kw)
     _ = float(out[0].sum())  # sync (block_until_ready lies via tunnel)

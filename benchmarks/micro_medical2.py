@@ -45,35 +45,39 @@ def main() -> int:
     settings = RenderSettings.from_flags(True)
 
     results = {}
-    for max_bricks, label in [
-        (65536, "8x8x8"),
-        (131072, "4x4x8"),
-        (262144, "4x4x4"),
-    ]:
-        for m in (1, 2):
-            key = f"bricks={label},m={m}"
-            times, rays = [], 0.0
-            for rep in range(args.reps + 1):
-                seed = 100 + rep
-                t0 = time.perf_counter()
-                img, nr = fast.render_tile(
-                    scene, camera, settings, (res, res),
-                    jnp.zeros(2, jnp.float32), (res, res), args.spp,
-                    seed, 0, lanes_per_pixel=m, two_level=True,
-                    max_bricks=max_bricks,
-                )
-                rays = float(nr)  # host readback = fence
-                _ = float(img.sum())
-                dt = time.perf_counter() - t0
-                if rep > 0:  # discard compile/warmup rep
-                    times.append(dt)
-            best = min(times)
-            mrays = rays / best / 1e6
-            results[key] = {
-                "times_s": [round(t, 3) for t in times],
-                "mrays_per_s": round(mrays, 2),
-            }
-            print(f"{key:24s} {times} -> {mrays:6.2f} Mrays/s", flush=True)
+    sweep = [
+        ("bricks=8x8x8,m=1,defer=0", dict(max_bricks=65536)),
+        ("bricks=8x8x8,m=1,defer=4", dict(max_bricks=65536, defer_ggx=4)),
+        ("bricks=8x8x8,m=1,defer=8", dict(max_bricks=65536, defer_ggx=8)),
+        ("bricks=8x8x8,m=1,defer=16", dict(max_bricks=65536, defer_ggx=16)),
+        ("bricks=8x8x8,m=2,defer=8",
+         dict(max_bricks=65536, defer_ggx=8, lanes_per_pixel=2)),
+        ("bricks=4x4x8,m=1,defer=8",
+         dict(max_bricks=131072, defer_ggx=8)),
+    ]
+    for key, kw in sweep:
+        times, rays = [], 0.0
+        for rep in range(args.reps + 1):
+            seed = 100 + rep
+            t0 = time.perf_counter()
+            img, nr = fast.render_tile(
+                scene, camera, settings, (res, res),
+                jnp.zeros(2, jnp.float32), (res, res), args.spp,
+                seed, 0, two_level=True, **kw,
+            )
+            rays = float(nr)  # host readback = fence
+            _ = float(img.sum())
+            dt = time.perf_counter() - t0
+            if rep > 0:  # discard compile/warmup rep
+                times.append(dt)
+        best = min(times)
+        mrays = rays / best / 1e6
+        results[key] = {
+            "times_s": [round(t, 3) for t in times],
+            "mrays_per_s": round(mrays, 2),
+        }
+        print(f"{key:28s} {[round(t,3) for t in times]}"
+              f" -> {mrays:6.2f} Mrays/s", flush=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

@@ -106,6 +106,28 @@ def make_fused_grid(scene: Scene, mode: str = None) -> jnp.ndarray:
     return jnp.concatenate([alb, den], axis=-1)
 
 
+#: brick-major layout edge (voxels per axis): taps within an 8^3 brick
+#: are contiguous in the flat table, so the random accesses of a brick
+#: transit share pages (the cudaArray/texture-locality analog,
+#: CudaVolPath.cpp:118-186) — built for the 1024^3 class where the
+#: row-major 4.3 GB table plateaued at 4 Mrays/s (PERF.md)
+_BM_EDGE = 8
+
+
+def brick_major_table(density_zyx: jnp.ndarray) -> jnp.ndarray:
+    """Flat density table in brick-major order (8^3 bricks): one
+    bandwidth-bound device-side transpose.  Grid dims must be multiples
+    of 8 (the 1024^3 class is)."""
+    nz, ny, nx = density_zyx.shape
+    e = _BM_EDGE
+    assert nz % e == 0 and ny % e == 0 and nx % e == 0
+    return (
+        density_zyx.reshape(nz // e, e, ny // e, e, nx // e, e)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(-1)
+    )
+
+
 def _albedo_mode(scene: Scene, allow_split: bool = False) -> str:
     """'const' | 'affine' | 'full' | 'split' — static
     (pytree-structural, plus the device-memory plan for 'split')."""
@@ -227,6 +249,12 @@ class FastState(NamedTuple):
     # telemetry: lane-iterations (rows) and tracking-lane occupancy
     n_rows: jnp.ndarray  # () f32 — sum over iterations of pool width
     n_busy: jnp.ndarray  # () f32 — sum over iterations of tracking lanes
+    # deferred-boundary mode (defer_ggx > 0): lanes waiting for the
+    # amortized GGX flush (the full trig-heavy microfacet sampler is the
+    # single most expensive VPU block; running it every iteration for
+    # the few lanes that hit the boundary cost ~38% of medical-class
+    # wall time — benchmarks/micro_ablate.py)
+    pend_b: jnp.ndarray  # (N,) bool
 
 
 def _as_f(x):
@@ -246,6 +274,7 @@ def _pack(s: FastState) -> jnp.ndarray:
         _as_f(s.tracking.astype(jnp.int32))[:, None],
         _as_f(s.rng.state.astype(jnp.int32))[:, None],
         _as_f(s.rng.inc.astype(jnp.int32))[:, None],
+        _as_f(s.pend_b.astype(jnp.int32))[:, None],
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -264,6 +293,7 @@ def _unpack(mat: jnp.ndarray, scalars) -> FastState:
         alive=as_i(mat[:, 23]) != 0, tracking=as_i(mat[:, 24]) != 0,
         rng=RngState(state=as_u(mat[:, 25]), inc=as_u(mat[:, 26])),
         n_rays=n_rays, n_rows=n_rows, n_busy=n_busy,
+        pend_b=as_i(mat[:, 27]) != 0,
     )
 
 
@@ -298,7 +328,8 @@ def _cascade_widths(n_lanes: int):
     jax.jit,
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
-        "two_level", "with_stats", "max_bricks",
+        "two_level", "with_stats", "max_bricks", "defer_ggx",
+        "brick_major",
     ),
 )
 def render_tile(
@@ -315,7 +346,17 @@ def render_tile(
     two_level: bool = False,
     with_stats: bool = False,
     max_bricks: int = _MAX_BRICKS,
+    defer_ggx: int = 0,
+    brick_major: bool = False,
 ):
+    """defer_ggx=G > 0 batches boundary events: a lane that reaches the
+    box surface stalls (pend_b) and the trig-heavy GGX sampler runs once
+    every G iterations for all pending lanes under a lax.cond — the
+    amortization that recovers the ~38% of medical-class wall time the
+    per-iteration full-width GGX evaluation cost
+    (benchmarks/micro_ablate.py).  Per-lane draw order is preserved (the
+    event's draws happen later in wall time but at the same position in
+    the lane's own stream), so images agree with defer_ggx=0 exactly."""
     tw, th = tile_dim
     n_pix = tw * th
     m = lanes_per_pixel
@@ -331,10 +372,29 @@ def render_tile(
     scale = med.scale
     inv_sigmat = 1.0 / (scale * med.max_density)
     albedo_mode = _albedo_mode(scene, allow_split=True)
-    fused = make_fused_grid(scene, albedo_mode)
     flat_tab = albedo_mode != "full"  # 1-D density-only table
+    e = _BM_EDGE
+    use_bm = (
+        brick_major and flat_tab and albedo_mode != "split"
+        and nz % e == 0 and ny % e == 0 and nx % e == 0
+    )
+    if use_bm:
+        fused = brick_major_table(med.density.data)
+    else:
+        fused = make_fused_grid(scene, albedo_mode)
     if albedo_mode == "split":
         albedo_flat3 = med.albedo.data[..., :3].reshape(-1, 3)
+
+    def tap_flat_idx(ix, iy, iz):
+        """Flat table index of a clamped integer tap (row-major or
+        brick-major layout)."""
+        if not use_bm:
+            return (iz * ny + iy) * nx + ix
+        return (
+            (((iz >> 3) * (ny // e) + (iy >> 3)) * (nx // e) + (ix >> 3))
+            * (e * e * e)
+            + ((iz & 7) << 6) + ((iy & 7) << 3) + (ix & 7)
+        )
 
     def row_rho(row):
         """Density channel of a fused-table gather (1-D table rows are
@@ -398,10 +458,50 @@ def render_tile(
         n_rays=jnp.zeros((), jnp.float32),
         n_rows=jnp.zeros((), jnp.float32),
         n_busy=jnp.zeros((), jnp.float32),
+        pend_b=jnp.zeros((n_lanes,), bool),
     )
+
+    def flush_boundary(s: FastState) -> FastState:
+        """Run the boundary event for every pending lane (one batched
+        GGX evaluation), mirroring the inline event semantics exactly:
+        event → bounce+1 → path cap → Russian roulette."""
+        pend = s.pend_b
+        o_bound = s.o + s.d * s.max_t[..., None]
+        o_b, d_b, t_b, rng = integrator.boundary_event(
+            scene, settings, s.normal, o_bound, s.d, s.throughput,
+            s.rng, pend,
+        )
+        o = jnp.where(pend[..., None], o_b, s.o)
+        d = jnp.where(pend[..., None], d_b, s.d)
+        tput = jnp.where(pend[..., None], t_b, s.throughput)
+        bounce = jnp.where(pend, s.bounce + 1, s.bounce)
+        alive, samples_done = s.alive, s.samples_done
+        capped = jnp.logical_and(pend, bounce >= settings.max_path_length)
+        alive = jnp.logical_and(alive, jnp.logical_not(capped))
+        samples_done = jnp.where(capped, samples_done + 1, samples_done)
+        if settings.russian_roulette:
+            rr_mask = jnp.logical_and(pend, jnp.logical_not(capped))
+            tput, alive, killed, rng = integrator.russian_roulette(
+                tput, alive, rng, rr_mask
+            )
+            samples_done = jnp.where(
+                killed, samples_done + 1, samples_done
+            )
+        return s._replace(
+            o=o, d=d, throughput=tput, bounce=bounce, alive=alive,
+            samples_done=samples_done, rng=rng,
+            pend_b=jnp.zeros_like(pend),
+        )
 
     def body(s, spec_k=1):
         width = s.alive.shape[0]
+        if defer_ggx > 0:
+            # amortized boundary flush every defer_ggx iterations
+            # (n_rows/width counts this stage's body calls exactly)
+            it = jnp.round(s.n_rows / float(width))
+            s = jax.lax.cond(
+                it % defer_ggx == 0, flush_boundary, lambda x: x, s
+            )
         # --- regenerate: next sample of the lane's pixel -----------------
         needs = jnp.logical_and(
             jnp.logical_not(s.alive), s.samples_done < spp_per_lane
@@ -427,6 +527,11 @@ def render_tile(
 
         # --- segment start: AABB + classification ------------------------
         need_isect = jnp.logical_and(alive, jnp.logical_not(tracking))
+        if defer_ggx > 0:
+            # stalled lanes wait for the boundary flush
+            need_isect = jnp.logical_and(
+                need_isect, jnp.logical_not(s.pend_b)
+            )
         n_rays = s.n_rays + jnp.sum(need_isect.astype(jnp.float32))
         isect = aabb.aabb_intersect(med.box_min, med.box_max, o, d)
         miss = jnp.logical_and(need_isect, jnp.logical_not(isect.hit))
@@ -518,7 +623,7 @@ def render_tile(
                 ix = jnp.clip(tap[..., 0], 0, nx - 1)
                 iy = jnp.clip(tap[..., 1], 0, ny - 1)
                 iz = jnp.clip(tap[..., 2], 0, nz - 1)
-                return (iz * ny + iy) * nx + ix
+                return tap_flat_idx(ix, iy, iz)
 
             if spec_k == 1:
                 u1, rng = next_float(rng, stepping)
@@ -670,7 +775,7 @@ def render_tile(
             ix = jnp.clip(tap[..., 0], 0, nx - 1)
             iy = jnp.clip(tap[..., 1], 0, ny - 1)
             iz = jnp.clip(tap[..., 2], 0, nz - 1)
-            tap_flat = (iz * ny + iy) * nx + ix
+            tap_flat = tap_flat_idx(ix, iy, iz)
             row = jnp.take(fused, tap_flat, axis=0)  # (N,4)
             rho_hat = row_rho(row)
             u2, rng = next_float(rng, step_mask)
@@ -692,31 +797,44 @@ def render_tile(
         boundary = jnp.logical_or(
             boundary_now, jnp.logical_and(terminated, overran)
         )
+        pend_b = s.pend_b
+        if defer_ggx > 0:
+            # record the boundary distance and stall; the flush applies
+            # the GGX event in a batched pass
+            max_t = jnp.where(boundary_now, isect.dist, max_t)
+            pend_b = jnp.logical_or(pend_b, boundary)
+            boundary = jnp.zeros_like(boundary)
         o_bound = jnp.where(
             boundary_now[..., None],
             o + d * isect.dist[..., None],
             o + d * max_t[..., None],
         )
-        o_b, d_b, t_b, rng = integrator.boundary_event(
-            scene, settings, normal, o_bound, d, tput, rng, boundary
-        )
+        if defer_ggx == 0:
+            o_b, d_b, t_b, rng = integrator.boundary_event(
+                scene, settings, normal, o_bound, d, tput, rng, boundary
+            )
 
         # --- scatter event: reuse the accepted tap's albedo --------------
         o_s = o + d * t[..., None] - d * EPSILON
         d_s, rng = phase.sample_phase(d, med.g, rng, active=scattered)
 
-        o = jnp.where(
-            scattered[..., None], o_s,
-            jnp.where(boundary[..., None], o_b, o),
-        )
-        d = jnp.where(
-            scattered[..., None], d_s,
-            jnp.where(boundary[..., None], d_b, d),
-        )
-        tput = jnp.where(
-            scattered[..., None], tput * alb_hat,
-            jnp.where(boundary[..., None], t_b, tput),
-        )
+        if defer_ggx == 0:
+            o = jnp.where(
+                scattered[..., None], o_s,
+                jnp.where(boundary[..., None], o_b, o),
+            )
+            d = jnp.where(
+                scattered[..., None], d_s,
+                jnp.where(boundary[..., None], d_b, d),
+            )
+            tput = jnp.where(
+                scattered[..., None], tput * alb_hat,
+                jnp.where(boundary[..., None], t_b, tput),
+            )
+        else:
+            o = jnp.where(scattered[..., None], o_s, o)
+            d = jnp.where(scattered[..., None], d_s, d)
+            tput = jnp.where(scattered[..., None], tput * alb_hat, tput)
 
         # --- path-length cap + Russian roulette after events --------------
         had_event = jnp.logical_and(
@@ -752,6 +870,7 @@ def render_tile(
             rng=rng, n_rays=n_rays,
             n_rows=s.n_rows + float(width),
             n_busy=s.n_busy + jnp.sum(tracking.astype(jnp.float32)),
+            pend_b=pend_b,
         )
 
     def pending_count(s):

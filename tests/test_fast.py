@@ -189,6 +189,38 @@ class TestAffineAlbedo:
         assert med3.albedo_affine is None
         assert fast._albedo_mode(make_scene(med3)) == "const"
 
+    def test_defer_ggx_bit_exact(self):
+        """Deferred boundary processing (amortized batched GGX) must be
+        bit-exact vs the per-iteration event path: same draws at the
+        same positions in each lane's own stream, just later in wall
+        time."""
+        dens = procedural.blob_volume()
+        alb = np.stack([dens, 0.5 * np.ones_like(dens), 1.0 - dens], -1)
+        scene = make_scene(
+            make_medium(dens, alb, scale=40.0, max_density=1.0)
+        )
+        args = make_args(scene, 24, 4)
+        for tl in (False, True):
+            a, nra = fast.render_tile(*args, two_level=tl)
+            b, nrb = fast.render_tile(*args, two_level=tl, defer_ggx=4)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert float(nra) == float(nrb)
+
+    def test_brick_major_bit_exact(self):
+        """The 8^3 brick-major table layout changes only the flat-index
+        mapping, never the fetched value: images are bit-identical."""
+        dens = procedural.blob_volume((16, 16, 16), n_blobs=3)
+        scene = make_scene(make_medium(dens, 0.8, scale=20.0,
+                                       max_density=1.0))
+        args = make_args(scene, 16, 4)
+        for tl in (False, True):
+            a, nra = fast.render_tile(*args, two_level=tl)
+            b, nrb = fast.render_tile(
+                *args, two_level=tl, brick_major=True
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert float(nra) == float(nrb)
+
     def test_flat_table_matches_full_table(self):
         """The 1-channel affine table reproduces the 4-channel fused
         table to float32 rounding (same draws, same taps; the VPU
