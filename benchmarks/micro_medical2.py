@@ -44,16 +44,30 @@ def main() -> int:
     camera = make_camera(res, res)
     settings = RenderSettings.from_flags(True)
 
+    # busy-fraction diagnostic (one run with stats)
+    out = fast.render_tile(
+        scene, camera, settings, (res, res), jnp.zeros(2, jnp.float32),
+        (res, res), args.spp, 1, 0, two_level=True, with_stats=True,
+    )
+    n_rays, n_rows, n_busy = (
+        float(out[1]), float(out[2]), float(out[3])
+    )
+    print(
+        f"stats: rays={n_rays:.0f} rows={n_rows:.0f} "
+        f"busy_frac={n_busy / max(n_rows, 1):.3f} "
+        f"width_equiv_iters={n_rows / (res * res):.0f}",
+        flush=True,
+    )
+
     results = {}
     sweep = [
-        ("bricks=8x8x8,m=1,defer=0", dict(max_bricks=65536)),
-        ("bricks=8x8x8,m=1,defer=4", dict(max_bricks=65536, defer_ggx=4)),
-        ("bricks=8x8x8,m=1,defer=8", dict(max_bricks=65536, defer_ggx=8)),
-        ("bricks=8x8x8,m=1,defer=16", dict(max_bricks=65536, defer_ggx=16)),
-        ("bricks=8x8x8,m=2,defer=8",
-         dict(max_bricks=65536, defer_ggx=8, lanes_per_pixel=2)),
-        ("bricks=4x4x8,m=1,defer=8",
-         dict(max_bricks=131072, defer_ggx=8)),
+        ("defer=0", dict()),
+        ("defer=4", dict(defer_ggx=4)),
+        ("defer=8", dict(defer_ggx=8)),
+        ("defer=16", dict(defer_ggx=16)),
+        ("defer=8,m=2", dict(defer_ggx=8, lanes_per_pixel=2)),
+        ("defer=8,casc=2", dict(defer_ggx=8, cascade_factor=2)),
+        ("defer=16,casc=2", dict(defer_ggx=16, cascade_factor=2)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0

@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
         "cascade sooner on deep-scattering scenes)",
     )
     p.add_argument(
+        "--defer-ggx", type=int, default=8,
+        help="fastSK: batch boundary GGX events every G iterations "
+        "(bit-exact; 0 = inline)",
+    )
+    p.add_argument(
+        "--brick-major", action="store_true",
+        help="fastSK: 8^3 brick-major flat-table layout for giant grids",
+    )
+    p.add_argument(
         "--orbit", type=int, default=0, metavar="N",
         help="with --interactive: render N frames orbiting the volume "
         "(offline replacement for the GLFW rotate control)",
@@ -128,6 +137,8 @@ def config_from_args(args) -> Config:
         regeneration_level=args.regeneration_level,
         two_level=args.two_level,
         lanes_per_pixel=args.lanes_per_pixel,
+        defer_ggx=args.defer_ggx,
+        brick_major=args.brick_major,
         settings=RenderSettings.from_flags(args.mitsuba_comparable),
     )
     if config.output_name is None:

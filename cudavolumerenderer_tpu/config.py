@@ -123,6 +123,13 @@ class Config:
     #: sequentially per lane; >1 drains the cascade sooner on scenes with
     #: deep scattering (medical-class), 1 is best for short-path scenes
     lanes_per_pixel: int = 1
+    #: fastSK deferred boundary events: the GGX sampler runs once every
+    #: G iterations for all pending lanes (bit-exact; ~38% of
+    #: medical-class time was per-iteration full-width GGX).  0 = inline.
+    defer_ggx: int = 8
+    #: fastSK flat-table layout: 8^3 brick-major (texture-locality
+    #: analog for giant grids); requires grid dims divisible by 8
+    brick_major: bool = False
     settings: RenderSettings = dataclasses.field(
         default_factory=lambda: RenderSettings.from_flags(True)
     )

@@ -310,13 +310,13 @@ def _stochastic_tap(coord, f_bits):
     return i0 + up.astype(jnp.int32)
 
 
-def _cascade_widths(n_lanes: int):
+def _cascade_widths(n_lanes: int, factor: int = _CASCADE_FACTOR):
     """Pool widths for the tail-compaction cascade."""
     widths = [n_lanes]
     while widths[-1] > _MIN_WIDTH:
         nxt = max(
             _MIN_WIDTH,
-            -(-widths[-1] // _CASCADE_FACTOR // 256) * 256,
+            -(-widths[-1] // factor // 256) * 256,
         )
         if nxt >= widths[-1]:
             break
@@ -329,7 +329,7 @@ def _cascade_widths(n_lanes: int):
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
         "two_level", "with_stats", "max_bricks", "defer_ggx",
-        "brick_major",
+        "brick_major", "cascade_factor",
     ),
 )
 def render_tile(
@@ -348,6 +348,7 @@ def render_tile(
     max_bricks: int = _MAX_BRICKS,
     defer_ggx: int = 0,
     brick_major: bool = False,
+    cascade_factor: int = _CASCADE_FACTOR,
 ):
     """defer_ggx=G > 0 batches boundary events: a lane that reaches the
     box surface stalls (pend_b) and the trig-heavy GGX sampler runs once
@@ -878,7 +879,7 @@ def render_tile(
         return jnp.sum(pending.astype(jnp.int32))
 
     # --- cascade: shrink the pool as the tail empties ---------------------
-    widths = _cascade_widths(n_lanes)
+    widths = _cascade_widths(n_lanes, cascade_factor)
     img = jnp.zeros((n_pix, 3), jnp.float32)
     state = state0
     stage_rows = []  # per-stage lane-rows (with_stats diagnostics)

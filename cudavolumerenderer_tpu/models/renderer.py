@@ -231,6 +231,8 @@ def make_kernel_fn(config: Config):
             return fast.render_tile(
                 *args, two_level=config.two_level,
                 lanes_per_pixel=config.lanes_per_pixel,
+                defer_ggx=config.defer_ggx,
+                brick_major=config.brick_major,
             )
         return fsk
     if k == Kernel.BRICK_SK:
