@@ -44,6 +44,13 @@ def main() -> int:
     parser.add_argument("--spp", type=int, default=8)
     parser.add_argument("--target-spp", type=int, default=64)
     parser.add_argument("--lr", type=float, default=0.05)
+    parser.add_argument(
+        "--scale", type=float, default=12.0,
+        help="sigma_t multiplier; chosen so the phantom's center-line "
+        "optical depth is ~7 (observable interior).  The round-1 run "
+        "used 100 (optical depth ~57): interior voxels were pitch "
+        "black, fundamentally unrecoverable, and the fit diverged.",
+    )
     parser.add_argument("--tv", type=float, default=2e-3)
     parser.add_argument(
         "--steps", type=int, nargs="+", default=[80, 60, 40],
@@ -63,7 +70,7 @@ def main() -> int:
     gt = jnp.asarray(procedural.medical_volume((n, n, n), n_blobs=40))
     albedo = jnp.full((1, 1, 1, 4), 0.6, jnp.float32)
 
-    spec = SceneSpec(scale=100.0, max_density=1.0)
+    spec = SceneSpec(scale=args.scale, max_density=1.0)
     settings = RenderSettings.from_flags(
         True, russian_roulette=False, max_path_length=64
     )
@@ -108,6 +115,7 @@ def main() -> int:
     mse1 = float(((np.asarray(density) - gt_np) ** 2).mean())
     result = {
         "grid": f"{n}^3",
+        "scale": args.scale,
         "views": args.views,
         "res": args.res,
         "spp": args.spp,

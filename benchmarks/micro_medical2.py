@@ -62,12 +62,9 @@ def main() -> int:
     results = {}
     sweep = [
         ("defer=0", dict()),
-        ("defer=4", dict(defer_ggx=4)),
-        ("defer=8", dict(defer_ggx=8)),
-        ("defer=16", dict(defer_ggx=16)),
-        ("defer=8,m=2", dict(defer_ggx=8, lanes_per_pixel=2)),
-        ("defer=8,casc=2", dict(defer_ggx=8, cascade_factor=2)),
-        ("defer=16,casc=2", dict(defer_ggx=16, cascade_factor=2)),
+        ("defer=0,casc=2", dict(cascade_factor=2)),
+        ("defer=0,casc=3", dict(cascade_factor=3)),
+        ("defer=0,casc=2,m=2", dict(cascade_factor=2, lanes_per_pixel=2)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0

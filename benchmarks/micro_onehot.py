@@ -131,6 +131,44 @@ def main() -> int:
         )
         return acc
 
+    def make_onehot_k(k_entries, n_b, dtype=jnp.float32):
+        """onehot-mxu over per-row tables of k_entries (super-brick tap
+        tables: 4096 = 16^3, 32768 = 32^3).  The (B, K) table is the
+        whole 16M-voxel grid re-laid-out super-brick-major, so total HBM
+        stays 64 MB; per-iteration traffic is n_rows * K * 4 bytes."""
+        btabs_k = jnp.asarray(
+            rng.rand(n_b, k_entries).astype(np.float32), dtype
+        )
+
+        @jax.jit
+        def fn(brick0, idx0):
+            def body(i, carry):
+                acc, brick, idx = carry
+                rows = jnp.take(btabs_k, brick, axis=0)  # (R, K)
+                idx2 = idx.reshape(n_rows, 128)
+                onehot = (
+                    idx2[:, :, None]
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, k_entries), 2
+                    )
+                ).astype(dtype)
+                v = jnp.einsum(
+                    "rlk,rk->rl", onehot, rows,
+                    preferred_element_type=jnp.float32,
+                ).reshape(-1)
+                acc = acc + v
+                idx = jnp.abs(idx * 1664525 + 1013904223
+                              + acc.astype(jnp.int32)) % k_entries
+                brick = jnp.abs(brick * 22695477 + 1) % n_b
+                return acc, brick, idx
+            acc, _, _ = jax.lax.fori_loop(
+                0, steps, body,
+                (jnp.zeros((n_lanes,), jnp.float32), brick0, idx0),
+            )
+            return acc
+
+        return fn
+
     idx_v = jnp.asarray(rng.randint(0, n_vox, n_lanes), jnp.int32)
     idx_s = jnp.asarray(rng.randint(0, 256, n_lanes), jnp.int32)
     brick0 = jnp.asarray(
@@ -140,6 +178,65 @@ def main() -> int:
     bench(big_gather_coherent, idx_v, label="a') big-gather clustered")
     bench(row_gather, brick0, idx_s, label="b) row-gather 2x128")
     bench(onehot_mxu, brick0, idx_s, label="c) onehot-mxu 256")
+    for k_e, n_b, tag in (
+        (4096, 4096, "d) onehot-mxu 4096"),
+        (32768, 512, "e) onehot-mxu 32768"),
+    ):
+        fn = make_onehot_k(k_e, n_b)
+        b0 = jnp.asarray(rng.randint(0, n_b, n_rows), jnp.int32)
+        i0 = jnp.asarray(rng.randint(0, k_e, n_lanes), jnp.int32)
+        bench(fn, b0, i0, label=tag)
+    fnb = make_onehot_k(32768, 512, jnp.bfloat16)
+    b0 = jnp.asarray(rng.randint(0, 512, n_rows), jnp.int32)
+    i0 = jnp.asarray(rng.randint(0, 32768, n_lanes), jnp.int32)
+    bench(fnb, b0, i0, label="f) onehot-mxu 32768 bf16")
+
+    def make_twostage(k_entries, n_b):
+        """Two-stage lookup: k = k_hi*128 + k_lo.  Stage 1 selects the
+        128-wide sub-row with an MXU matmul over k_hi (no giant one-hot
+        to fuse); stage 2 is a VPU row-dot over k_lo.  Intermediate is
+        (R, 128, 128) — 134 MB at R=2048, always materializable."""
+        k_hi = k_entries // 128
+        btabs_k = jnp.asarray(
+            rng.rand(n_b, k_hi, 128).astype(np.float32)
+        )
+
+        @jax.jit
+        def fn(brick0, idx0):
+            def body(i, carry):
+                acc, brick, idx = carry
+                rows = jnp.take(btabs_k, brick, axis=0)  # (R, KH, 128)
+                idx2 = idx.reshape(n_rows, 128)
+                hi = idx2 >> 7
+                lo = idx2 & 127
+                oh_hi = (
+                    hi[:, :, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (1, 1, k_hi), 2)
+                ).astype(jnp.float32)
+                sub = jnp.einsum(
+                    "rlh,rhk->rlk", oh_hi, rows,
+                    preferred_element_type=jnp.float32,
+                )  # (R, 128, 128)
+                oh_lo = (
+                    lo[:, :, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+                ).astype(jnp.float32)
+                v = jnp.sum(sub * oh_lo, axis=-1).reshape(-1)
+                acc = acc + v
+                idx = jnp.abs(idx * 1664525 + 1013904223
+                              + acc.astype(jnp.int32)) % k_entries
+                brick = jnp.abs(brick * 22695477 + 1) % n_b
+                return acc, brick, idx
+            acc, _, _ = jax.lax.fori_loop(
+                0, steps, body,
+                (jnp.zeros((n_lanes,), jnp.float32), brick0, idx0),
+            )
+            return acc
+
+        return fn
+
+    fn2 = make_twostage(32768, 512)
+    bench(fn2, b0, i0, label="g) two-stage-mxu 32768")
     return 0
 
 

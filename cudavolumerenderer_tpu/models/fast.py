@@ -106,23 +106,27 @@ def make_fused_grid(scene: Scene, mode: str = None) -> jnp.ndarray:
     return jnp.concatenate([alb, den], axis=-1)
 
 
-#: brick-major layout edge (voxels per axis): taps within an 8^3 brick
-#: are contiguous in the flat table, so the random accesses of a brick
-#: transit share pages (the cudaArray/texture-locality analog,
-#: CudaVolPath.cpp:118-186) — built for the 1024^3 class where the
-#: row-major 4.3 GB table plateaued at 4 Mrays/s (PERF.md)
-_BM_EDGE = 8
+#: brick-major layout brick dims (z, y, x): taps within an 8x8x128
+#: brick are contiguous (32 KB) in the flat table, so the random
+#: accesses of a brick transit share pages (the cudaArray/
+#: texture-locality analog, CudaVolPath.cpp:118-186) — built for the
+#: 1024^3 class where the row-major 4.3 GB table plateaued at
+#: 4 Mrays/s (PERF.md).  The x-extent is 128 so the layout transpose's
+#: trailing dimension is a native TPU lane tile: an 8^3 brick layout
+#: (trailing dim 8) pads every (8, 128) tile 16x during the transpose —
+#: a 64 GB HBM intermediate at 1024^3 (measured OOM).
+_BM_BRICK = (8, 8, 128)
 
 
 def brick_major_table(density_zyx: jnp.ndarray) -> jnp.ndarray:
-    """Flat density table in brick-major order (8^3 bricks): one
+    """Flat density table in brick-major order ((8,8,128) bricks): one
     bandwidth-bound device-side transpose.  Grid dims must be multiples
-    of 8 (the 1024^3 class is)."""
+    of the brick dims (the 1024^3 class is)."""
     nz, ny, nx = density_zyx.shape
-    e = _BM_EDGE
-    assert nz % e == 0 and ny % e == 0 and nx % e == 0
+    ez, ey, ex = _BM_BRICK
+    assert nz % ez == 0 and ny % ey == 0 and nx % ex == 0
     return (
-        density_zyx.reshape(nz // e, e, ny // e, e, nx // e, e)
+        density_zyx.reshape(nz // ez, ez, ny // ey, ey, nx // ex, ex)
         .transpose(0, 2, 4, 1, 3, 5)
         .reshape(-1)
     )
@@ -374,10 +378,10 @@ def render_tile(
     inv_sigmat = 1.0 / (scale * med.max_density)
     albedo_mode = _albedo_mode(scene, allow_split=True)
     flat_tab = albedo_mode != "full"  # 1-D density-only table
-    e = _BM_EDGE
+    ez_bm, ey_bm, ex_bm = _BM_BRICK
     use_bm = (
         brick_major and flat_tab and albedo_mode != "split"
-        and nz % e == 0 and ny % e == 0 and nx % e == 0
+        and nz % ez_bm == 0 and ny % ey_bm == 0 and nx % ex_bm == 0
     )
     if use_bm:
         fused = brick_major_table(med.density.data)
@@ -392,9 +396,12 @@ def render_tile(
         if not use_bm:
             return (iz * ny + iy) * nx + ix
         return (
-            (((iz >> 3) * (ny // e) + (iy >> 3)) * (nx // e) + (ix >> 3))
-            * (e * e * e)
-            + ((iz & 7) << 6) + ((iy & 7) << 3) + (ix & 7)
+            (
+                ((iz >> 3) * (ny // ey_bm) + (iy >> 3)) * (nx // ex_bm)
+                + (ix >> 7)
+            )
+            * (ez_bm * ey_bm * ex_bm)
+            + ((iz & 7) << 10) + ((iy & 7) << 7) + (ix & 127)
         )
 
     def row_rho(row):

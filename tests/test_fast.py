@@ -206,10 +206,35 @@ class TestAffineAlbedo:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
             assert float(nra) == float(nrb)
 
+    def test_brick_major_table_is_permutation(self):
+        """brick_major_table must be a pure re-layout: every voxel
+        appears exactly once, at the index tap_flat_idx would compute."""
+        rng = np.random.RandomState(3)
+        dens = rng.rand(8, 16, 256).astype(np.float32)
+        nz, ny, nx = dens.shape
+        ez, ey, ex = fast._BM_BRICK
+        tab = np.asarray(fast.brick_major_table(jnp.asarray(dens)))
+        iz, iy, ix = np.meshgrid(
+            np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
+        )
+        flat = (
+            (
+                ((iz >> 3) * (ny // ey) + (iy >> 3)) * (nx // ex)
+                + (ix >> 7)
+            )
+            * (ez * ey * ex)
+            + ((iz & 7) << 10) + ((iy & 7) << 7) + (ix & 127)
+        )
+        np.testing.assert_array_equal(tab[flat.reshape(-1)],
+                                      dens.reshape(-1))
+
     def test_brick_major_bit_exact(self):
-        """The 8^3 brick-major table layout changes only the flat-index
-        mapping, never the fetched value: images are bit-identical."""
-        dens = procedural.blob_volume((16, 16, 16), n_blobs=3)
+        """The (8,8,128) brick-major table layout changes only the
+        flat-index mapping, never the fetched value: images are
+        bit-identical.  Grid dims are brick multiples so the layout is
+        actually exercised (smaller grids fall back to row-major)."""
+        # blob_volume resolution is (x, y, z) -> density shape (16,16,128)
+        dens = procedural.blob_volume((128, 16, 16), n_blobs=3)
         scene = make_scene(make_medium(dens, 0.8, scale=20.0,
                                        max_density=1.0))
         args = make_args(scene, 16, 4)
