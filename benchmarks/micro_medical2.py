@@ -44,27 +44,45 @@ def main() -> int:
     camera = make_camera(res, res)
     settings = RenderSettings.from_flags(True)
 
-    # busy-fraction diagnostic (one run with stats)
+    # busy-fraction + per-stage diagnostic (one run with stats)
     out = fast.render_tile(
         scene, camera, settings, (res, res), jnp.zeros(2, jnp.float32),
         (res, res), args.spp, 1, 0, two_level=True, with_stats=True,
+        cascade_factor=2,
     )
     n_rays, n_rows, n_busy = (
         float(out[1]), float(out[2]), float(out[3])
     )
+    stage_rows = np.asarray(out[4])
+    widths = fast._cascade_widths(res * res, 2)
     print(
-        f"stats: rays={n_rays:.0f} rows={n_rows:.0f} "
+        f"stats(casc=2): rays={n_rays:.0f} rows={n_rows:.0f} "
         f"busy_frac={n_busy / max(n_rows, 1):.3f} "
         f"width_equiv_iters={n_rows / (res * res):.0f}",
         flush=True,
     )
+    for w, r in zip(widths, stage_rows):
+        print(
+            f"  stage width={w:7d}: rows={r:12.0f} "
+            f"iters={r / w:7.0f} width_equiv={r / (res * res):6.1f}",
+            flush=True,
+        )
 
     results = {}
     sweep = [
-        ("defer=0", dict()),
-        ("defer=0,casc=2", dict(cascade_factor=2)),
-        ("defer=0,casc=3", dict(cascade_factor=3)),
-        ("defer=0,casc=2,m=2", dict(cascade_factor=2, lanes_per_pixel=2)),
+        ("casc=2", dict(cascade_factor=2)),
+        ("casc=2,spec4", dict(cascade_factor=2, tail_spec=4)),
+        ("casc=2,sl-spec8",
+         dict(cascade_factor=2, tail_single_level=True, tail_spec=8)),
+        ("casc=2,sl-spec8,mw1k",
+         dict(cascade_factor=2, tail_single_level=True, tail_spec=8,
+              min_width=1024)),
+        ("casc=2,sl-spec8,chain16",
+         dict(cascade_factor=2, tail_single_level=True, tail_spec=8,
+              tail_chain=16)),
+        ("casc=2,sl-spec4,tw64k",
+         dict(cascade_factor=2, tail_single_level=True, tail_spec=4,
+              tail_width=65536)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0

@@ -91,13 +91,27 @@ def build_parser() -> argparse.ArgumentParser:
         "cascade sooner on deep-scattering scenes)",
     )
     p.add_argument(
-        "--defer-ggx", type=int, default=8,
+        "--defer-ggx", type=int, default=0,
         help="fastSK: batch boundary GGX events every G iterations "
-        "(bit-exact; 0 = inline)",
+        "(bit-exact; 0 = inline; measured a net loss on v5e — PERF.md)",
     )
     p.add_argument(
         "--brick-major", action="store_true",
-        help="fastSK: 8^3 brick-major flat-table layout for giant grids",
+        help="fastSK: (8,8,128) brick-major flat-table layout for "
+        "giant grids",
+    )
+    p.add_argument(
+        "--cascade-factor", type=int, default=2,
+        help="fastSK: cascade pool shrink factor",
+    )
+    p.add_argument(
+        "--tail-single-level", action="store_true",
+        help="fastSK: tail pools use global-majorant tracking with "
+        "--tail-spec speculative steps per gather",
+    )
+    p.add_argument(
+        "--tail-spec", type=int, default=1,
+        help="fastSK: speculative Woodcock steps per tail body",
     )
     p.add_argument(
         "--orbit", type=int, default=0, metavar="N",
@@ -139,6 +153,9 @@ def config_from_args(args) -> Config:
         lanes_per_pixel=args.lanes_per_pixel,
         defer_ggx=args.defer_ggx,
         brick_major=args.brick_major,
+        cascade_factor=args.cascade_factor,
+        tail_single_level=args.tail_single_level,
+        tail_spec=args.tail_spec,
         settings=RenderSettings.from_flags(args.mitsuba_comparable),
     )
     if config.output_name is None:

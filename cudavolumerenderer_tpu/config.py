@@ -124,12 +124,25 @@ class Config:
     #: deep scattering (medical-class), 1 is best for short-path scenes
     lanes_per_pixel: int = 1
     #: fastSK deferred boundary events: the GGX sampler runs once every
-    #: G iterations for all pending lanes (bit-exact; ~38% of
-    #: medical-class time was per-iteration full-width GGX).  0 = inline.
-    defer_ggx: int = 8
-    #: fastSK flat-table layout: 8^3 brick-major (texture-locality
-    #: analog for giant grids); requires grid dims divisible by 8
+    #: G iterations for all pending lanes (bit-exact).  Measured a NET
+    #: LOSS on v5e at every G (stalled lanes waste more gather rows than
+    #: the amortized trig saves — PERF.md round-2); kept as a knob,
+    #: default off.
+    defer_ggx: int = 0
+    #: fastSK flat-table layout: (8,8,128) brick-major (texture-locality
+    #: analog for giant grids); requires grid dims divisible by the brick
     brick_major: bool = False
+    #: fastSK cascade pool shrink factor: 2 tracks the lane drain curve
+    #: tighter than the round-1 default 4 (medical-class 7.46 vs 6.53
+    #: Mrays/s)
+    cascade_factor: int = 2
+    #: fastSK tail pools switch to single-level (global-majorant)
+    #: tracking with tail_spec speculative steps per gather: narrow
+    #: pools are floored by per-gather latency, and without brick
+    #: crossings every speculative step stays valid
+    tail_single_level: bool = False
+    #: speculative Woodcock steps per body evaluation in tail pools
+    tail_spec: int = 1
     settings: RenderSettings = dataclasses.field(
         default_factory=lambda: RenderSettings.from_flags(True)
     )

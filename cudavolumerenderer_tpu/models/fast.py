@@ -231,6 +231,63 @@ def brick_chebyshev_distance(brick_major: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(dist, jnp.float32(_LEAP_ITERS + 1))
 
 
+# --- mxu-taps: binned super-brick MXU table lookups ----------------------
+#
+# The measured cost model (benchmarks/micro_onehot.py, v5e): XLA's HBM
+# gather runs ~56-90 M rows/s regardless of index coherence, while a
+# one-hot matmul against a per-MXU-row table runs ~300 M lookups/s.  To
+# use the MXU for the Woodcock density taps, all 128 lanes of an MXU row
+# must share one table.  mxu-taps therefore bins lanes by the 32^3
+# "super-brick" containing their position (periodic argsort rebin),
+# gathers one halo'd 33^3 density table per row, and looks taps up with
+# a two-stage matmul (one-hot over k>>7 selects a 128-wide sub-row on
+# the MXU; the low 7 bits pick within it) — no giant one-hot is ever
+# materialized.  A lane whose position left its row's super-brick
+# *stalls* (no draws consumed — the stall test uses only the position,
+# so the exponential free-flight process is untouched: memorylessness
+# makes redrawing after the next rebin distribution-exact).  This is the
+# TPU re-expression of the reference's texture-cache locality
+# (CudaVolPath.cpp:118-186) + sortingSK's coherent deferred fetches
+# (SortingVolPTsk_kernel.cuh:105-147): sort rays so concurrent fetches
+# share fast memory — except here "fast memory" is the MXU's stationary
+# operand, not a cache.
+
+_SB_EDGE = 32  # super-brick edge (voxels per axis)
+_SB_LOCAL = _SB_EDGE + 1  # +1 halo: stochastic-trilinear taps reach +1
+
+
+def prepare_mxu_tables(density_zyx: jnp.ndarray) -> jnp.ndarray:
+    """(NS, KH, 128) halo'd per-super-brick density tables for mxu-taps.
+
+    Build once per scene (outside the render jit: it is a 1.2x-grid
+    gather) and pass to render_tile(mxu_tables=...).  Row s holds the
+    33^3 voxels [32*sz .. 32*sz+32] x ... (clamped at volume edges,
+    matching tap clamping), flattened as (lz*33 + ly)*33 + lx and padded
+    to a multiple of 128 for the two-stage MXU lookup.
+    """
+    nz, ny, nx = density_zyx.shape
+    e = _SB_EDGE
+    assert nz % e == 0 and ny % e == 0 and nx % e == 0
+    nsz, nsy, nsx = nz // e, ny // e, nx // e
+    ns = nsz * nsy * nsx
+    kl = _SB_LOCAL ** 3
+    kh = -(-kl // 128)
+    sid = jnp.arange(ns, dtype=jnp.int32)
+    sz = sid // (nsy * nsx)
+    sy = (sid // nsx) % nsy
+    sx = sid % nsx
+    l = jnp.arange(kh * 128, dtype=jnp.int32)
+    lz = jnp.minimum(l // (_SB_LOCAL * _SB_LOCAL), _SB_LOCAL - 1)
+    ly = (l // _SB_LOCAL) % _SB_LOCAL
+    lx = l % _SB_LOCAL
+    gz = jnp.clip(sz[:, None] * e + lz[None, :], 0, nz - 1)
+    gy = jnp.clip(sy[:, None] * e + ly[None, :], 0, ny - 1)
+    gx = jnp.clip(sx[:, None] * e + lx[None, :], 0, nx - 1)
+    perm = (gz * ny + gy) * nx + gx
+    flat = density_zyx.reshape(-1)
+    return jnp.take(flat, perm, axis=0).reshape(ns, kh, 128)
+
+
 class FastState(NamedTuple):
     o: jnp.ndarray
     d: jnp.ndarray
@@ -259,6 +316,10 @@ class FastState(NamedTuple):
     # the few lanes that hit the boundary cost ~38% of medical-class
     # wall time — benchmarks/micro_ablate.py)
     pend_b: jnp.ndarray  # (N,) bool
+    # mxu-taps mode: the super-brick id whose table this lane's MXU row
+    # is bound to (-1 = unbound; semantically per 128-lane row, stored
+    # per lane so it permutes with the state)
+    rb: jnp.ndarray  # (N,) int32
 
 
 def _as_f(x):
@@ -266,7 +327,7 @@ def _as_f(x):
 
 
 def _pack(s: FastState) -> jnp.ndarray:
-    """Per-lane state → one (N, 27) f32 matrix so cascade compaction is
+    """Per-lane state → one (N, 29) f32 matrix so cascade compaction is
     a single row gather (scalars are threaded separately)."""
     cols = [
         s.o, s.d, s.throughput, s.accum, s.normal,
@@ -279,6 +340,7 @@ def _pack(s: FastState) -> jnp.ndarray:
         _as_f(s.rng.state.astype(jnp.int32))[:, None],
         _as_f(s.rng.inc.astype(jnp.int32))[:, None],
         _as_f(s.pend_b.astype(jnp.int32))[:, None],
+        _as_f(s.rb)[:, None],
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -298,6 +360,7 @@ def _unpack(mat: jnp.ndarray, scalars) -> FastState:
         rng=RngState(state=as_u(mat[:, 25]), inc=as_u(mat[:, 26])),
         n_rays=n_rays, n_rows=n_rows, n_busy=n_busy,
         pend_b=as_i(mat[:, 27]) != 0,
+        rb=as_i(mat[:, 28]),
     )
 
 
@@ -314,12 +377,14 @@ def _stochastic_tap(coord, f_bits):
     return i0 + up.astype(jnp.int32)
 
 
-def _cascade_widths(n_lanes: int, factor: int = _CASCADE_FACTOR):
+def _cascade_widths(
+    n_lanes: int, factor: int = _CASCADE_FACTOR, min_width: int = _MIN_WIDTH
+):
     """Pool widths for the tail-compaction cascade."""
     widths = [n_lanes]
-    while widths[-1] > _MIN_WIDTH:
+    while widths[-1] > min_width:
         nxt = max(
-            _MIN_WIDTH,
+            min_width,
             -(-widths[-1] // factor // 256) * 256,
         )
         if nxt >= widths[-1]:
@@ -333,7 +398,9 @@ def _cascade_widths(n_lanes: int, factor: int = _CASCADE_FACTOR):
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
         "two_level", "with_stats", "max_bricks", "defer_ggx",
-        "brick_major", "cascade_factor",
+        "brick_major", "cascade_factor", "rebin_every",
+        "tail_chain", "tail_spec", "tail_width", "min_width",
+        "tail_single_level",
     ),
 )
 def render_tile(
@@ -353,6 +420,13 @@ def render_tile(
     defer_ggx: int = 0,
     brick_major: bool = False,
     cascade_factor: int = _CASCADE_FACTOR,
+    mxu_tables: jnp.ndarray = None,
+    rebin_every: int = 4,
+    tail_chain: int = _TAIL_CHAIN,
+    tail_spec: int = _TAIL_SPEC,
+    tail_width: int = _TAIL_CHAIN_WIDTH,
+    min_width: int = _MIN_WIDTH,
+    tail_single_level: bool = False,
 ):
     """defer_ggx=G > 0 batches boundary events: a lane that reaches the
     box surface stalls (pend_b) and the trig-heavy GGX sampler runs once
@@ -438,6 +512,41 @@ def render_tile(
         brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
         brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
 
+    use_mxu = mxu_tables is not None
+    if use_mxu:
+        e_sb = _SB_EDGE
+        ok = (
+            two_level and flat_tab and albedo_mode != "split"
+            and not use_bm
+            and nz % e_sb == 0 and ny % e_sb == 0 and nx % e_sb == 0
+            and n_lanes % 128 == 0
+            and e_sb % bz_ == 0 and e_sb % by_ == 0 and e_sb % bx_ == 0
+        )
+        if not ok:
+            raise ValueError(
+                "mxu_tables requires two_level, a flat (const/affine) "
+                "albedo, grid dims divisible by 32, 128-multiple lane "
+                "count, and majorant bricks dividing the super-brick"
+            )
+        nsz, nsy, nsx = nz // e_sb, ny // e_sb, nx // e_sb
+        n_super = nsz * nsy * nsx
+        npz, npy, npx = e_sb // bz_, e_sb // by_, e_sb // bx_
+        n_sub = npz * npy * npx
+        # (NS, NSUB, 2) per-super-brick (majorant, leap) sub-tables:
+        # pure reshape/transpose of the (B, 2) table — no gather
+        mtabs = jnp.stack(
+            [
+                x.reshape(nsz, npz, nsy, npy, nsx, npx)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(n_super, n_sub)
+                for x in (major, leap)
+            ],
+            axis=-1,
+        )
+        kh_sb = mxu_tables.shape[1]
+        sup_size = jnp.float32(e_sb)
+        sup_hi = jnp.asarray([nsx - 1, nsy - 1, nsz - 1], jnp.int32)
+
     lane = jnp.arange(n_lanes, dtype=jnp.uint32)
     pix0 = (lane % jnp.uint32(n_pix)).astype(jnp.int32)
     slot0 = (lane // jnp.uint32(n_pix)).astype(jnp.int32)
@@ -467,6 +576,7 @@ def render_tile(
         n_rows=jnp.zeros((), jnp.float32),
         n_busy=jnp.zeros((), jnp.float32),
         pend_b=jnp.zeros((n_lanes,), bool),
+        rb=jnp.full((n_lanes,), -1, jnp.int32),
     )
 
     def flush_boundary(s: FastState) -> FastState:
@@ -501,7 +611,7 @@ def render_tile(
             pend_b=jnp.zeros_like(pend),
         )
 
-    def body(s, spec_k=1):
+    def body(s, spec_k=1, single_level=False):
         width = s.alive.shape[0]
         if defer_ggx > 0:
             # amortized boundary flush every defer_ggx iterations
@@ -564,7 +674,7 @@ def render_tile(
         inv_sig_local = s.inv_sig_local
 
         # --- tracking ------------------------------------------------------
-        if two_level:
+        if two_level and not single_level:
             # Two-level (sparse-leap) delta tracking, split-table edition:
             # brick probes hit the small fast-path (B, 2) majorant+leap
             # table, density taps hit the (V, 4) fused table, and a brick
@@ -769,7 +879,7 @@ def render_tile(
             tracking = jnp.logical_and(
                 tracking, jnp.logical_not(terminated)
             )
-        else:
+        elif spec_k == 1:
             step_mask = tracking
             u1, rng = next_float(rng, step_mask)
             step = -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat
@@ -797,6 +907,99 @@ def render_tile(
             )
             alb_hat = tap_albedo(row, tap_flat, scattered)
             t = t_new
+            tracking = jnp.logical_and(
+                tracking, jnp.logical_not(terminated)
+            )
+        else:
+            # Speculative single-level tracking: draw spec_k global-
+            # majorant steps at once, fetch all taps in ONE gather, keep
+            # the prefix up to the first acceptance or boundary overrun.
+            # Unlike the two-level spec path there are no brick
+            # crossings, so every candidate before the overrun is a
+            # valid Woodcock step — the narrow-tail case where the
+            # per-gather latency floor dominates gets spec_k steps per
+            # body at one gather's cost.  Thinned steps are iid: taking
+            # the stopped prefix is the same stochastic process.
+            step_mask = tracking
+            t_run = t
+            cands = []
+            for _ in range(spec_k):
+                u1, rng = next_float(rng, step_mask)
+                t_run = t_run + jnp.where(
+                    step_mask,
+                    -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sigmat,
+                    0.0,
+                )
+                cands.append(t_run)
+            t_cands = jnp.stack(cands, axis=-1)  # (N, K)
+            in_vol = jnp.logical_and(
+                step_mask[..., None], t_cands <= max_t[..., None]
+            )
+            flats = []
+            for j in range(spec_k):
+                tap_bits, rng = next_uint32(rng, in_vol[..., j])
+                p_j = o + t_cands[..., j, None] * d
+                coord_j = (
+                    jnp.clip((p_j - med.box_min) / extent, 0.0, 1.0)
+                    * res_minus_1
+                )
+                tap_j = _stochastic_tap(coord_j, tap_bits)
+                flats.append(
+                    tap_flat_idx(
+                        jnp.clip(tap_j[..., 0], 0, nx - 1),
+                        jnp.clip(tap_j[..., 1], 0, ny - 1),
+                        jnp.clip(tap_j[..., 2], 0, nz - 1),
+                    )
+                )
+            idxk = jnp.stack(flats, axis=-1)  # (N, K)
+            rows = jnp.take(
+                fused, jnp.where(in_vol, idxk, 0), axis=0
+            )
+            u2s = []
+            for j in range(spec_k):
+                u2, rng = next_float(rng, in_vol[..., j])
+                u2s.append(u2)
+            u2k = jnp.stack(u2s, axis=-1)
+            acceptj = jnp.logical_and(
+                in_vol,
+                jnp.logical_not(scale * row_rho(rows) * inv_sigmat < u2k),
+            )
+            # a candidate stops the prefix if it accepts or leaves the box
+            stopj = jnp.logical_or(
+                acceptj, jnp.logical_not(in_vol)
+            )
+            j0 = jnp.argmax(stopj, axis=-1)
+            any_stop = jnp.any(stopj, axis=-1)
+            if flat_tab:
+                row0 = jnp.take_along_axis(rows, j0[..., None], axis=1)[
+                    :, 0
+                ]
+            else:
+                row0 = jnp.take_along_axis(
+                    rows, j0[..., None, None], axis=1
+                )[:, 0, :]
+            t0v = jnp.take_along_axis(t_cands, j0[..., None], axis=1)[:, 0]
+            acc0 = jnp.take_along_axis(acceptj, j0[..., None], axis=1)[
+                :, 0
+            ]
+            tap0 = jnp.take_along_axis(idxk, j0[..., None], axis=1)[:, 0]
+            accepted = jnp.logical_and(
+                step_mask, jnp.logical_and(any_stop, acc0)
+            )
+            overran = jnp.logical_and(
+                step_mask,
+                jnp.logical_and(any_stop, jnp.logical_not(acc0)),
+            )
+            terminated = jnp.logical_and(
+                step_mask, jnp.logical_or(accepted, overran)
+            )
+            scattered = accepted
+            alb_hat = tap_albedo(row0, tap0, scattered)
+            t = jnp.where(
+                step_mask,
+                jnp.where(any_stop, t0v, t_cands[..., -1]),
+                t,
+            )
             tracking = jnp.logical_and(
                 tracking, jnp.logical_not(terminated)
             )
@@ -879,6 +1082,7 @@ def render_tile(
             n_rows=s.n_rows + float(width),
             n_busy=s.n_busy + jnp.sum(tracking.astype(jnp.float32)),
             pend_b=pend_b,
+            rb=s.rb,
         )
 
     def pending_count(s):
@@ -886,7 +1090,7 @@ def render_tile(
         return jnp.sum(pending.astype(jnp.int32))
 
     # --- cascade: shrink the pool as the tail empties ---------------------
-    widths = _cascade_widths(n_lanes, cascade_factor)
+    widths = _cascade_widths(n_lanes, cascade_factor, min_width)
     img = jnp.zeros((n_pix, 3), jnp.float32)
     state = state0
     stage_rows = []  # per-stage lane-rows (with_stats diagnostics)
@@ -898,13 +1102,20 @@ def render_tile(
         # (each is a full, correct iteration; masked draws keep per-path
         # streams identical, extra evaluations past the exit condition
         # are no-ops)
-        tail = len(widths) > 1 and width <= _TAIL_CHAIN_WIDTH
-        k_chain = _TAIL_CHAIN if tail else 1
-        k_spec = _TAIL_SPEC if (tail and two_level) else 1
+        tail = len(widths) > 1 and width <= tail_width
+        k_chain = tail_chain if tail else 1
+        # tail pools may switch to single-level tracking (global
+        # majorant): no brick crossings means every speculative step
+        # stays valid, so spec-K amortizes the fixed per-gather latency
+        # that floors narrow-pool iterations.  Distribution-exact: the
+        # majorant choice is free in Woodcock tracking, and restarting a
+        # mid-flight lane under the global majorant is memoryless.
+        sl = tail and tail_single_level and two_level
+        k_spec = tail_spec if tail else 1
 
-        def chained(s, _k=k_chain, _spec=k_spec):
+        def chained(s, _k=k_chain, _spec=k_spec, _sl=sl):
             for _ in range(_k):
-                s = body(s, spec_k=_spec)
+                s = body(s, spec_k=_spec, single_level=_sl)
             return s
 
         def cond(s, _thresh=thresh):

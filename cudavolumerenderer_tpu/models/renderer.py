@@ -233,6 +233,9 @@ def make_kernel_fn(config: Config):
                 lanes_per_pixel=config.lanes_per_pixel,
                 defer_ggx=config.defer_ggx,
                 brick_major=config.brick_major,
+                cascade_factor=config.cascade_factor,
+                tail_single_level=config.tail_single_level,
+                tail_spec=config.tail_spec,
             )
         return fsk
     if k == Kernel.BRICK_SK:

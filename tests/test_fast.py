@@ -48,6 +48,42 @@ class TestFast:
         )
         np.testing.assert_allclose(np.asarray(img) / 4, 1.0, atol=1e-5)
 
+    def test_white_furnace_exact_tail_modes(self):
+        """The tail knobs (single-level tail pools, speculative steps,
+        deep chains, tiny min_width) change the draw schedule but never
+        the physics: unit albedo + null bsdf still gives exactly 1.0.
+        min_width is tiny and tail_width huge so every cascade stage
+        actually runs the single-level spec-K path."""
+        scene = blob_scene(albedo_value=1.0)
+        camera = make_camera(16, 16)
+        settings = RenderSettings.from_flags(True, bsdf_kind="null")
+        for kw in (
+            dict(tail_spec=4, tail_width=1 << 20, min_width=64),
+            dict(tail_single_level=True, tail_spec=8,
+                 tail_width=1 << 20, min_width=64, tail_chain=4),
+        ):
+            img, _ = fast.render_tile(
+                scene, camera, settings, (16, 16),
+                jnp.zeros(2, jnp.float32), (16, 16), 4, 3, 0,
+                two_level=True, **kw,
+            )
+            np.testing.assert_allclose(np.asarray(img) / 4, 1.0, atol=1e-5)
+
+    def test_tail_modes_statistical_agreement(self):
+        """Single-level spec-K tail pools are the same estimator: image
+        means agree with the default path within MC tolerance."""
+        scene = blob_scene()
+        args = make_args(scene, 24, 32)
+        img_a, nr_a = fast.render_tile(*args, two_level=True)
+        img_b, nr_b = fast.render_tile(
+            *args, two_level=True, tail_single_level=True, tail_spec=8,
+            tail_width=1 << 20, min_width=64,
+        )
+        a = float(np.asarray(img_a).mean())
+        b = float(np.asarray(img_b).mean())
+        assert abs(a - b) / a < 0.02
+        assert abs(float(nr_a) - float(nr_b)) / float(nr_a) < 0.05
+
     def test_statistical_agreement_with_naive(self):
         """Different estimator, same mean: image means agree within MC
         tolerance at moderate spp."""
