@@ -69,20 +69,24 @@ def main() -> int:
         )
 
     results = {}
+    # spec/single-level confined to the 4096-wide tail pool (spec_width):
+    # the earlier sweep applied spec-8 at 16384-lane pools where the
+    # (N, 8) gather is 131k rows — far off the latency floor — and lost
+    base = dict(cascade_factor=2)
     sweep = [
-        ("casc=2", dict(cascade_factor=2)),
-        ("casc=2,spec4", dict(cascade_factor=2, tail_spec=4)),
-        ("casc=2,sl-spec8",
-         dict(cascade_factor=2, tail_single_level=True, tail_spec=8)),
-        ("casc=2,sl-spec8,mw1k",
-         dict(cascade_factor=2, tail_single_level=True, tail_spec=8,
-              min_width=1024)),
-        ("casc=2,sl-spec8,chain16",
-         dict(cascade_factor=2, tail_single_level=True, tail_spec=8,
-              tail_chain=16)),
-        ("casc=2,sl-spec4,tw64k",
-         dict(cascade_factor=2, tail_single_level=True, tail_spec=4,
-              tail_width=65536)),
+        ("casc=2", dict(**base)),
+        ("sw4k-sl-spec8",
+         dict(**base, tail_single_level=True, tail_spec=8,
+              spec_width=4096)),
+        ("sw4k-sl-spec16",
+         dict(**base, tail_single_level=True, tail_spec=16,
+              spec_width=4096)),
+        ("sw4k-spec4",
+         dict(**base, tail_spec=4, spec_width=4096)),
+        ("chain16", dict(**base, tail_chain=16)),
+        ("sw4k-sl-spec8-chain16",
+         dict(**base, tail_single_level=True, tail_spec=8,
+              spec_width=4096, tail_chain=16)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0

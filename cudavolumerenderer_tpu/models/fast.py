@@ -231,61 +231,24 @@ def brick_chebyshev_distance(brick_major: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(dist, jnp.float32(_LEAP_ITERS + 1))
 
 
-# --- mxu-taps: binned super-brick MXU table lookups ----------------------
-#
-# The measured cost model (benchmarks/micro_onehot.py, v5e): XLA's HBM
-# gather runs ~56-90 M rows/s regardless of index coherence, while a
-# one-hot matmul against a per-MXU-row table runs ~300 M lookups/s.  To
-# use the MXU for the Woodcock density taps, all 128 lanes of an MXU row
-# must share one table.  mxu-taps therefore bins lanes by the 32^3
-# "super-brick" containing their position (periodic argsort rebin),
-# gathers one halo'd 33^3 density table per row, and looks taps up with
-# a two-stage matmul (one-hot over k>>7 selects a 128-wide sub-row on
-# the MXU; the low 7 bits pick within it) — no giant one-hot is ever
-# materialized.  A lane whose position left its row's super-brick
-# *stalls* (no draws consumed — the stall test uses only the position,
-# so the exponential free-flight process is untouched: memorylessness
-# makes redrawing after the next rebin distribution-exact).  This is the
-# TPU re-expression of the reference's texture-cache locality
-# (CudaVolPath.cpp:118-186) + sortingSK's coherent deferred fetches
-# (SortingVolPTsk_kernel.cuh:105-147): sort rays so concurrent fetches
-# share fast memory — except here "fast memory" is the MXU's stationary
-# operand, not a cache.
-
-_SB_EDGE = 32  # super-brick edge (voxels per axis)
-_SB_LOCAL = _SB_EDGE + 1  # +1 halo: stochastic-trilinear taps reach +1
-
-
-def prepare_mxu_tables(density_zyx: jnp.ndarray) -> jnp.ndarray:
-    """(NS, KH, 128) halo'd per-super-brick density tables for mxu-taps.
-
-    Build once per scene (outside the render jit: it is a 1.2x-grid
-    gather) and pass to render_tile(mxu_tables=...).  Row s holds the
-    33^3 voxels [32*sz .. 32*sz+32] x ... (clamped at volume edges,
-    matching tap clamping), flattened as (lz*33 + ly)*33 + lx and padded
-    to a multiple of 128 for the two-stage MXU lookup.
-    """
-    nz, ny, nx = density_zyx.shape
-    e = _SB_EDGE
-    assert nz % e == 0 and ny % e == 0 and nx % e == 0
-    nsz, nsy, nsx = nz // e, ny // e, nx // e
-    ns = nsz * nsy * nsx
-    kl = _SB_LOCAL ** 3
-    kh = -(-kl // 128)
-    sid = jnp.arange(ns, dtype=jnp.int32)
-    sz = sid // (nsy * nsx)
-    sy = (sid // nsx) % nsy
-    sx = sid % nsx
-    l = jnp.arange(kh * 128, dtype=jnp.int32)
-    lz = jnp.minimum(l // (_SB_LOCAL * _SB_LOCAL), _SB_LOCAL - 1)
-    ly = (l // _SB_LOCAL) % _SB_LOCAL
-    lx = l % _SB_LOCAL
-    gz = jnp.clip(sz[:, None] * e + lz[None, :], 0, nz - 1)
-    gy = jnp.clip(sy[:, None] * e + ly[None, :], 0, ny - 1)
-    gx = jnp.clip(sx[:, None] * e + lx[None, :], 0, nx - 1)
-    perm = (gz * ny + gy) * nx + gx
-    flat = density_zyx.reshape(-1)
-    return jnp.take(flat, perm, axis=0).reshape(ns, kh, 128)
+# NOTE — "mxu-taps" design study (round 2, negative result).  The
+# measured cost model (benchmarks/micro_onehot.py, v5e) shows a one-hot
+# MXU matmul against per-MXU-row brick tables runs ~300 M lookups/s vs
+# ~56-90 M rows/s for XLA's HBM gather, and index coherence does NOT
+# help the gather (clustered indices measured *slower*).  Using the MXU
+# for Woodcock taps requires all 128 lanes of a row to share one brick
+# table, i.e. lanes periodically argsort-binned by the super-brick
+# containing their position, with lanes that transit out stalling until
+# the next rebin.  The economics do not close for this workload: at
+# medical scale the majorant mean free path is ~5 voxels, so a 32^3
+# super-brick is resident for only ~6 steps (and ~1.5 steps at 1024^3
+# where steps are 18-25 voxels) — binding stalls (~25-65% extra
+# iterations) plus the per-rebin argsort eat the 1.8x per-iteration
+# einsum saving.  A 64^3 super-brick doubles residency but the per-row
+# table gather (R x K x 4 B) and the one-hot contraction both scale
+# linearly with K and become the new bottleneck.  The levers that DO
+# close the medical gap are cascade_factor=2 and the speculative
+# single-level tail (below).
 
 
 class FastState(NamedTuple):
@@ -316,10 +279,6 @@ class FastState(NamedTuple):
     # the few lanes that hit the boundary cost ~38% of medical-class
     # wall time — benchmarks/micro_ablate.py)
     pend_b: jnp.ndarray  # (N,) bool
-    # mxu-taps mode: the super-brick id whose table this lane's MXU row
-    # is bound to (-1 = unbound; semantically per 128-lane row, stored
-    # per lane so it permutes with the state)
-    rb: jnp.ndarray  # (N,) int32
 
 
 def _as_f(x):
@@ -327,7 +286,7 @@ def _as_f(x):
 
 
 def _pack(s: FastState) -> jnp.ndarray:
-    """Per-lane state → one (N, 29) f32 matrix so cascade compaction is
+    """Per-lane state → one (N, 28) f32 matrix so cascade compaction is
     a single row gather (scalars are threaded separately)."""
     cols = [
         s.o, s.d, s.throughput, s.accum, s.normal,
@@ -340,7 +299,6 @@ def _pack(s: FastState) -> jnp.ndarray:
         _as_f(s.rng.state.astype(jnp.int32))[:, None],
         _as_f(s.rng.inc.astype(jnp.int32))[:, None],
         _as_f(s.pend_b.astype(jnp.int32))[:, None],
-        _as_f(s.rb)[:, None],
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -360,7 +318,6 @@ def _unpack(mat: jnp.ndarray, scalars) -> FastState:
         rng=RngState(state=as_u(mat[:, 25]), inc=as_u(mat[:, 26])),
         n_rays=n_rays, n_rows=n_rows, n_busy=n_busy,
         pend_b=as_i(mat[:, 27]) != 0,
-        rb=as_i(mat[:, 28]),
     )
 
 
@@ -398,9 +355,9 @@ def _cascade_widths(
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
         "two_level", "with_stats", "max_bricks", "defer_ggx",
-        "brick_major", "cascade_factor", "rebin_every",
-        "tail_chain", "tail_spec", "tail_width", "min_width",
-        "tail_single_level",
+        "brick_major", "cascade_factor",
+        "tail_chain", "tail_spec", "tail_width", "spec_width",
+        "min_width", "tail_single_level",
     ),
 )
 def render_tile(
@@ -420,11 +377,10 @@ def render_tile(
     defer_ggx: int = 0,
     brick_major: bool = False,
     cascade_factor: int = _CASCADE_FACTOR,
-    mxu_tables: jnp.ndarray = None,
-    rebin_every: int = 4,
     tail_chain: int = _TAIL_CHAIN,
     tail_spec: int = _TAIL_SPEC,
     tail_width: int = _TAIL_CHAIN_WIDTH,
+    spec_width: int = None,
     min_width: int = _MIN_WIDTH,
     tail_single_level: bool = False,
 ):
@@ -512,41 +468,6 @@ def render_tile(
         brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
         brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
 
-    use_mxu = mxu_tables is not None
-    if use_mxu:
-        e_sb = _SB_EDGE
-        ok = (
-            two_level and flat_tab and albedo_mode != "split"
-            and not use_bm
-            and nz % e_sb == 0 and ny % e_sb == 0 and nx % e_sb == 0
-            and n_lanes % 128 == 0
-            and e_sb % bz_ == 0 and e_sb % by_ == 0 and e_sb % bx_ == 0
-        )
-        if not ok:
-            raise ValueError(
-                "mxu_tables requires two_level, a flat (const/affine) "
-                "albedo, grid dims divisible by 32, 128-multiple lane "
-                "count, and majorant bricks dividing the super-brick"
-            )
-        nsz, nsy, nsx = nz // e_sb, ny // e_sb, nx // e_sb
-        n_super = nsz * nsy * nsx
-        npz, npy, npx = e_sb // bz_, e_sb // by_, e_sb // bx_
-        n_sub = npz * npy * npx
-        # (NS, NSUB, 2) per-super-brick (majorant, leap) sub-tables:
-        # pure reshape/transpose of the (B, 2) table — no gather
-        mtabs = jnp.stack(
-            [
-                x.reshape(nsz, npz, nsy, npy, nsx, npx)
-                .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(n_super, n_sub)
-                for x in (major, leap)
-            ],
-            axis=-1,
-        )
-        kh_sb = mxu_tables.shape[1]
-        sup_size = jnp.float32(e_sb)
-        sup_hi = jnp.asarray([nsx - 1, nsy - 1, nsz - 1], jnp.int32)
-
     lane = jnp.arange(n_lanes, dtype=jnp.uint32)
     pix0 = (lane % jnp.uint32(n_pix)).astype(jnp.int32)
     slot0 = (lane // jnp.uint32(n_pix)).astype(jnp.int32)
@@ -576,7 +497,6 @@ def render_tile(
         n_rows=jnp.zeros((), jnp.float32),
         n_busy=jnp.zeros((), jnp.float32),
         pend_b=jnp.zeros((n_lanes,), bool),
-        rb=jnp.full((n_lanes,), -1, jnp.int32),
     )
 
     def flush_boundary(s: FastState) -> FastState:
@@ -1082,7 +1002,6 @@ def render_tile(
             n_rows=s.n_rows + float(width),
             n_busy=s.n_busy + jnp.sum(tracking.astype(jnp.float32)),
             pend_b=pend_b,
-            rb=s.rb,
         )
 
     def pending_count(s):
@@ -1104,14 +1023,20 @@ def render_tile(
         # are no-ops)
         tail = len(widths) > 1 and width <= tail_width
         k_chain = tail_chain if tail else 1
-        # tail pools may switch to single-level tracking (global
+        # narrow pools may switch to single-level tracking (global
         # majorant): no brick crossings means every speculative step
         # stays valid, so spec-K amortizes the fixed per-gather latency
         # that floors narrow-pool iterations.  Distribution-exact: the
         # majorant choice is free in Woodcock tracking, and restarting a
         # mid-flight lane under the global majorant is memoryless.
-        sl = tail and tail_single_level and two_level
-        k_spec = tail_spec if tail else 1
+        # spec_width is separate from tail_width because an (N, K)
+        # gather only rides the latency floor when N*K stays small —
+        # spec-8 at 16384 lanes is a 131k-row gather, far off the floor
+        # (measured: applying spec at tail_width pools LOSES — PERF.md).
+        spec_w = tail_width if spec_width is None else spec_width
+        narrow = len(widths) > 1 and width <= spec_w
+        sl = narrow and tail_single_level and two_level
+        k_spec = tail_spec if narrow else 1
 
         def chained(s, _k=k_chain, _spec=k_spec, _sl=sl):
             for _ in range(_k):
