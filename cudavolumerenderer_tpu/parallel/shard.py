@@ -42,6 +42,9 @@ def render_sharded(
     n_lanes: int = 1 << 16,
     two_level: bool = False,
     lanes_per_pixel: int = 1,
+    tile_dim: Tuple[int, int] = None,
+    tile_offset=None,
+    path_id_base: int = 0,
 ):
     """Render `spp` total samples/pixel sharded over the mesh's 'rays'
     axis.  spp must be divisible by the axis size.  Returns (image,
@@ -51,35 +54,46 @@ def render_sharded(
     optionally with two-level sparse-leap tracking).  Sample path ids
     are contiguous blocks per shard, so the union over shards is the
     same id set a single-device render uses — shard invariance holds by
-    construction for every kernel."""
+    construction for every kernel.
+
+    tile_dim/tile_offset render one tile of a larger `resolution` image
+    (the progressive tiled path, CudaVolPath.cpp:249-280, sharded): the
+    returned image has tile_dim shape."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     if spp % n_dev != 0:
         raise ValueError(f"spp={spp} not divisible by mesh size {n_dev}")
     spp_shard = spp // n_dev
-    w, h = resolution
+    if tile_dim is None:
+        tile_dim = resolution
+    if tile_offset is None:
+        tile_offset = jnp.zeros(2, jnp.float32)
+    w, h = tile_dim
     n_pix = w * h
 
-    def shard_fn(scene_r, camera_r):
+    def shard_fn(scene_r, camera_r, tile_off_r):
         idx = jax.lax.axis_index(axis)
-        base = (idx * n_pix * spp_shard).astype(jnp.uint32)
+        base = (
+            jnp.uint32(path_id_base)
+            + (idx * n_pix * spp_shard).astype(jnp.uint32)
+        )
         if kernel == "fast":
             img, n_rays = fast.render_tile(
-                scene_r, camera_r, settings, resolution,
-                jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
+                scene_r, camera_r, settings, tile_dim,
+                tile_off_r, resolution, spp_shard, seed,
                 base, lanes_per_pixel=lanes_per_pixel,
                 two_level=two_level,
             )
         elif kernel == "streaming":
             img, n_rays = streaming.render_tile(
-                scene_r, camera_r, settings, resolution,
-                jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
+                scene_r, camera_r, settings, tile_dim,
+                tile_off_r, resolution, spp_shard, seed,
                 base, n_lanes=min(n_lanes, n_pix * spp_shard),
             )
         else:
             img, n_rays = naive.render_tile(
-                scene_r, camera_r, settings, resolution,
-                jnp.zeros(2, jnp.float32), resolution, spp_shard, seed,
+                scene_r, camera_r, settings, tile_dim,
+                tile_off_r, resolution, spp_shard, seed,
                 base,
             )
         img = jax.lax.psum(img, axis)
@@ -87,10 +101,11 @@ def render_sharded(
         return img, n_rays
 
     fn = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P()),
+        shard_fn, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(scene, camera)
+    return fn(scene, camera, jnp.asarray(tile_offset, jnp.float32))
 
 
 def make_inverse_step(
