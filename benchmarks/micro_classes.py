@@ -63,25 +63,30 @@ def main() -> int:
         settings = RenderSettings.from_flags(True)
         off = jnp.zeros(2, jnp.float32)
         seed = 700
-        img, nr = fast.render_tile(
-            scene, camera, settings, (res, res), off, (res, res),
-            iters, seed, 0, two_level=True,
-        )
-        float(img.sum())  # compile + fence
-        for rep in range(3):
-            seed += 1
-            t0 = time.time()
+        for label, kw in (
+            ("casc=4", dict()),
+            ("casc=2", dict(cascade_factor=2)),
+        ):
             img, nr = fast.render_tile(
                 scene, camera, settings, (res, res), off, (res, res),
-                iters, seed, 0, two_level=True,
+                iters, seed, 0, two_level=True, **kw,
             )
-            s = float(img.sum()) + float(nr)
-            dt = time.time() - t0
-            print(
-                f"{name} {res}^2x{iters} rep={rep}: {dt:.3f}s  "
-                f"{float(nr) / (dt * 1e6):.2f} Mrays/s  (sum {s:.1f})",
-                flush=True,
-            )
+            float(img.sum())  # compile + fence
+            for rep in range(3):
+                seed += 1
+                t0 = time.time()
+                img, nr = fast.render_tile(
+                    scene, camera, settings, (res, res), off, (res, res),
+                    iters, seed, 0, two_level=True, **kw,
+                )
+                s = float(img.sum()) + float(nr)
+                dt = time.time() - t0
+                print(
+                    f"{name} {res}^2x{iters} {label} rep={rep}: {dt:.3f}s"
+                    f"  {float(nr) / (dt * 1e6):.2f} Mrays/s"
+                    f"  (sum {s:.1f})",
+                    flush=True,
+                )
     return 0
 
 

@@ -87,6 +87,13 @@ def main() -> int:
         ("sw4k-sl-spec8-chain16",
          dict(**base, tail_single_level=True, tail_spec=8,
               spec_width=4096, tail_chain=16)),
+        # 16^3 majorant bricks: ~40% of tracking rows are brick-crossing
+        # rows whose tap is masked (residency ~1.5 steps at 8^3); double
+        # the edge halves crossings at the cost of looser majorants
+        ("bricks16", dict(**base, max_bricks=4096)),
+        ("bricks16+sw4k-sl-spec8",
+         dict(**base, max_bricks=4096, tail_single_level=True,
+              tail_spec=8, spec_width=4096)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0

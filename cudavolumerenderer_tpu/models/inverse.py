@@ -278,23 +278,28 @@ def render_view_targets(
     two_level: bool,
     seed: int = 999,
 ):
-    """High-spp reference renders of the ground truth for each view —
-    one compile total (traced camera override)."""
-    import jax  # noqa: PLC0415
+    """High-spp reference renders of the ground truth for each view.
 
-    proto = camera_specs[0]
+    Targets need no gradients, so they use the fast forward renderer
+    (models/fast), not render_diff — same estimator family (stochastic
+    trilinear taps, two-level sparse leap), so the target is an
+    unbiased image of the same transport the loss renders, at ~100x
+    less cost.  This also keeps each device program short: one
+    render_diff call at target spp was a single multi-minute XLA
+    program that faulted the device at 256^3 (round-2 log)."""
+    from . import fast  # noqa: PLC0415
 
-    @jax.jit
-    def render_one(camera, view_seed):
-        return render_diff(
-            density, albedo, view_seed, scene_spec, proto, settings,
-            resolution, spp, two_level, camera,
-        ) / float(spp)
-
+    scene = scene_spec.build(density, albedo)
+    tw, th = resolution
     targets = []
     for v, spec in enumerate(camera_specs):
-        vs = jnp.uint32((seed + v * 2246822519) % (1 << 31))
-        targets.append(render_one(spec.build(), vs))
+        vs = int((seed + v * 2246822519) % (1 << 31))
+        img, _ = fast.render_tile(
+            scene, spec.build(), settings, (tw, th),
+            jnp.zeros(2, jnp.float32), (tw, th), spp, vs, 0,
+            two_level=two_level,
+        )
+        targets.append(img / float(spp))
     return jnp.stack(targets)
 
 
