@@ -94,6 +94,18 @@ def main() -> int:
     )
     out = fast.render_tile(seed=1, path_id_base=0, **kw)
     _ = float(out[0].sum())  # sync (block_until_ready lies via tunnel)
+    n_rays, n_rows, n_busy = float(out[1]), float(out[2]), float(out[3])
+    stage_rows = [float(x) for x in out[4]]
+    widths = fast._cascade_widths(res * res)  # render used defaults
+    print(
+        f"stats: rays={n_rays:.0f} rows={n_rows:.0f} "
+        f"busy={n_busy / max(n_rows, 1):.3f} "
+        f"width_equiv={n_rows / (res * res):.0f}",
+        flush=True,
+    )
+    for w, r in zip(widths, stage_rows):
+        print(f"  stage w={w:8d}: iters={r / w:7.0f} "
+              f"width_equiv={r / (res * res):6.1f}", flush=True)
     best = None
     for s in (7, 8):
         t0 = time.perf_counter()
