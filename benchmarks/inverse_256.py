@@ -53,6 +53,12 @@ def main() -> int:
     )
     parser.add_argument("--tv", type=float, default=2e-3)
     parser.add_argument(
+        "--spp-chunks", type=int, default=2,
+        help="split each view's grad into this many device programs "
+        "(bounds per-program duration; >1-min programs fault the "
+        "device through the tunnel)",
+    )
+    parser.add_argument(
         "--steps", type=int, nargs="+", default=[80, 60, 40],
         help="steps per pyramid level",
     )
@@ -96,6 +102,7 @@ def main() -> int:
     config = inverse.InverseConfig(
         resolution=res, spp=args.spp, learning_rate=args.lr, seed=17,
         two_level=True, tv_weight=args.tv, views_per_step=2,
+        spp_chunks=args.spp_chunks,
         checkpoint_dir="/tmp/inv256_ckpt", checkpoint_every=50,
     )
 

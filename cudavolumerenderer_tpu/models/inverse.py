@@ -45,6 +45,16 @@ class InverseConfig:
     #: set round-robin (stochastic view minibatching) so every step
     #: renders only `views_per_step` images
     views_per_step: int = 1
+    #: split each view's fwd+bwd into this many independent sample
+    #: chunks of spp/spp_chunks each, run as SEPARATE device programs
+    #: whose grads are averaged.  Device programs through the axon
+    #: tunnel fault past ~1 minute of execution (round-2 log: two
+    #: reproduced "TPU worker crashed" at the 128^3 pyramid level);
+    #: chunking bounds per-program duration.  Per-view splitting is
+    #: exact (the multi-view loss is a mean of per-view MSEs); spp
+    #: splitting swaps MSE-of-mean for mean-of-chunk-MSE, the same
+    #: surrogate the per-step stochastic loss already minimizes.
+    spp_chunks: int = 1
 
 
 def make_loss_fn(
@@ -314,28 +324,25 @@ def run_inverse_views(
     progress: Optional[Callable[[int, float], None]] = None,
     opt_state=None,
 ):
-    """Adam over round-robin view minibatches: each step renders
-    config.views_per_step views (traced camera — ONE compile for any
-    number of views) with fresh sample streams.  Returns
+    """Adam over round-robin view minibatches.  Each (view, sample
+    chunk) is its own short device program (traced camera — ONE
+    compile serves every pose); grads are averaged across the
+    config.views_per_step x config.spp_chunks programs of a step.
+    Per-view splitting is exact math (the multi-view loss is a mean of
+    per-view MSEs); the chunking exists to bound per-program execution
+    time (long programs fault the device through the tunnel).  Returns
     (density, losses, opt_state)."""
     import jax  # noqa: PLC0415
 
+    n_chunks = max(1, int(config.spp_chunks))
+    chunk_spp = max(1, config.spp // n_chunks)
+    chunk_cfg = dataclasses.replace(config, spp=chunk_spp)
     loss_fn = make_view_loss_fn(
-        scene_spec, camera_specs[0], settings, config
+        scene_spec, camera_specs[0], settings, chunk_cfg
     )
     optimizer = optax.adam(config.learning_rate)
 
-    def batch_loss(density, albedo, tgt_batch, seeds, cam_batch):
-        total = 0.0
-        k = tgt_batch.shape[0]
-        for j in range(config.views_per_step):
-            cam_j = jax.tree_util.tree_map(lambda x: x[j], cam_batch)
-            total = total + loss_fn(
-                density, albedo, tgt_batch[j], seeds[j], cam_j
-            )
-        return total / float(k)
-
-    grad_fn = jax.jit(jax.value_and_grad(batch_loss, argnums=0))
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
 
     cameras = [spec.build() for spec in camera_specs]
     n_views = len(cameras)
@@ -344,24 +351,32 @@ def run_inverse_views(
     lo, hi = config.clip_density
     if opt_state is None:
         opt_state = optimizer.init(density)
+    n_parts = config.views_per_step * n_chunks
     for step in range(config.n_steps):
         views = [
             (step * config.views_per_step + j) % n_views
             for j in range(config.views_per_step)
         ]
-        cam_batch = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[cameras[v] for v in views]
-        )
-        tgt_batch = jnp.stack([targets[v] for v in views])
-        seeds = jnp.asarray(
-            [
-                (config.seed + step * 2654435761 + v * 2246822519)
-                % (1 << 31)
-                for v in views
-            ],
-            jnp.uint32,
-        )
-        loss, grad = grad_fn(density, albedo0, tgt_batch, seeds, cam_batch)
+        loss = 0.0
+        grad = None
+        for v in views:
+            for c in range(n_chunks):
+                seed = jnp.uint32(
+                    (
+                        config.seed
+                        + step * 2654435761
+                        + v * 2246822519
+                        + c * 3266489917
+                    )
+                    % (1 << 31)
+                )
+                l_c, g_c = grad_fn(
+                    density, albedo0, targets[v], seed, cameras[v]
+                )
+                loss = loss + l_c
+                grad = g_c if grad is None else grad + g_c
+        loss = loss / n_parts
+        grad = grad / n_parts
         updates, opt_state = optimizer.update(grad, opt_state, density)
         density = jnp.clip(optax.apply_updates(density, updates), lo, hi)
         losses.append(float(loss))
