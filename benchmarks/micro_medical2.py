@@ -73,27 +73,19 @@ def main() -> int:
     # the earlier sweep applied spec-8 at 16384-lane pools where the
     # (N, 8) gather is 131k rows — far off the latency floor — and lost
     base = dict(cascade_factor=2)
+    # round 3 of the sweep: bricks16 won the last round (8.19 vs 7.48 —
+    # fewer crossing rows at full width); now attack the 1416-iteration
+    # 4096-lane tail with per-stage brick tables (tail_bricks): tight
+    # majorants cut the deep path's null collisions where iterations,
+    # not rows, are the cost
     sweep = [
-        ("casc=2", dict(**base)),
-        ("sw4k-sl-spec8",
-         dict(**base, tail_single_level=True, tail_spec=8,
-              spec_width=4096)),
-        ("sw4k-sl-spec16",
-         dict(**base, tail_single_level=True, tail_spec=16,
-              spec_width=4096)),
-        ("sw4k-spec4",
-         dict(**base, tail_spec=4, spec_width=4096)),
-        ("chain16", dict(**base, tail_chain=16)),
-        ("sw4k-sl-spec8-chain16",
-         dict(**base, tail_single_level=True, tail_spec=8,
-              spec_width=4096, tail_chain=16)),
-        # 16^3 majorant bricks: ~40% of tracking rows are brick-crossing
-        # rows whose tap is masked (residency ~1.5 steps at 8^3); double
-        # the edge halves crossings at the cost of looser majorants
         ("bricks16", dict(**base, max_bricks=4096)),
-        ("bricks16+sw4k-sl-spec8",
-         dict(**base, max_bricks=4096, tail_single_level=True,
-              tail_spec=8, spec_width=4096)),
+        ("bricks16+tb4", dict(**base, max_bricks=4096, tail_bricks=4)),
+        ("bricks16+tb8", dict(**base, max_bricks=4096, tail_bricks=8)),
+        ("bricks16+tb2", dict(**base, max_bricks=4096, tail_bricks=2)),
+        ("bricks16+tb4-w64k",
+         dict(**base, max_bricks=4096, tail_bricks=4, tail_width=65536)),
+        ("tb4", dict(**base, tail_bricks=4)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0

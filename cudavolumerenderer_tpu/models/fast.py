@@ -357,7 +357,7 @@ def _cascade_widths(
         "two_level", "with_stats", "max_bricks", "defer_ggx",
         "brick_major", "cascade_factor",
         "tail_chain", "tail_spec", "tail_width", "spec_width",
-        "min_width", "tail_single_level",
+        "min_width", "tail_single_level", "tail_bricks",
     ),
 )
 def render_tile(
@@ -383,6 +383,7 @@ def render_tile(
     spec_width: int = None,
     min_width: int = _MIN_WIDTH,
     tail_single_level: bool = False,
+    tail_bricks: int = 0,
 ):
     """defer_ggx=G > 0 batches boundary events: a lane that reaches the
     box surface stalls (pend_b) and the trig-heavy GGX sampler runs once
@@ -449,8 +450,13 @@ def render_tile(
                 albedo_flat3, jnp.where(mask, tap_flat, 0), axis=0
             )
         return fused_row_decode(scene, row)[1]
-    if two_level:
-        bz_, by_, bx_ = pick_brick((nz, ny, nx), max_bricks)
+    def build_brick_tables(bz_, by_, bx_):
+        """Majorant+leap table for one brick granularity.  Stages may
+        use DIFFERENT granularities: piecewise-majorant tracking is
+        distribution-exact for ANY per-segment majorant >= density, and
+        a carried (brick_exit, inv_sig_local) from a coarser table stays
+        a valid majorant until the next crossing, so switching tables at
+        stage boundaries needs no re-probe."""
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
         major = brick_majorants(med.density.data, (bz_, by_, bx_))
         # world-space edge of the safe Chebyshev ball around a brick
@@ -459,14 +465,32 @@ def render_tile(
         )
         min_edge = jnp.min(edge_world)
         cheb = brick_chebyshev_distance(major)
-        # safe leap beyond the brick exit: (D-1) empty rings, shaved by an
-        # epsilon so float rounding cannot poke past the guarantee
+        # safe leap beyond the brick exit: (D-1) empty rings, shaved by
+        # an epsilon so float rounding cannot poke past the guarantee
         leap = jnp.maximum(cheb - 1.0, 0.0) * min_edge * (1.0 - 1e-6)
-        brick_tab = jnp.stack(
+        tab = jnp.stack(
             [major.reshape(-1), leap.reshape(-1)], axis=-1
         )  # (B, 2): fast-path gather rows
-        brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
-        brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
+        return dict(
+            tab=tab,
+            size=jnp.asarray([bx_, by_, bz_], jnp.float32),
+            hi=jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32),
+            nby=nby, nbx=nbx,
+        )
+
+    if two_level:
+        coarse_bt = build_brick_tables(
+            *pick_brick((nz, ny, nx), max_bricks)
+        )
+        # tail pools are latency-bound (per-iteration cost is fixed, so
+        # iterations are what matter): tighter majorants cut null
+        # collisions on the few deep surviving paths, even though the
+        # finer probe table would lose at full width (more crossings)
+        fine_bt = (
+            build_brick_tables(tail_bricks, tail_bricks, tail_bricks)
+            if tail_bricks > 0
+            else None
+        )
 
     lane = jnp.arange(n_lanes, dtype=jnp.uint32)
     pix0 = (lane % jnp.uint32(n_pix)).astype(jnp.int32)
@@ -531,7 +555,12 @@ def render_tile(
             pend_b=jnp.zeros_like(pend),
         )
 
-    def body(s, spec_k=1, single_level=False):
+    def body(s, spec_k=1, single_level=False, bt=None):
+        if bt is None and two_level:
+            bt = coarse_bt
+        if two_level and not single_level:
+            brick_tab, brick_size, brick_hi = bt["tab"], bt["size"], bt["hi"]
+            nby, nbx = bt["nby"], bt["nbx"]
         width = s.alive.shape[0]
         if defer_ggx > 0:
             # amortized boundary flush every defer_ggx iterations
@@ -1038,9 +1067,18 @@ def render_tile(
         sl = narrow and tail_single_level and two_level
         k_spec = tail_spec if narrow else 1
 
-        def chained(s, _k=k_chain, _spec=k_spec, _sl=sl):
+        # narrow pools may probe a FINER brick table (tail_bricks>0):
+        # tighter majorants mean fewer null-collision iterations, which
+        # is all that matters at the latency floor
+        bt_stage = (
+            fine_bt
+            if (two_level and tail and fine_bt is not None)
+            else (coarse_bt if two_level else None)
+        )
+
+        def chained(s, _k=k_chain, _spec=k_spec, _sl=sl, _bt=bt_stage):
             for _ in range(_k):
-                s = body(s, spec_k=_spec, single_level=_sl)
+                s = body(s, spec_k=_spec, single_level=_sl, bt=_bt)
             return s
 
         def cond(s, _thresh=thresh):
