@@ -63,6 +63,16 @@ def main() -> int:
         help="steps per pyramid level",
     )
     parser.add_argument("--out", default="benchmarks/results_inverse256.json")
+    parser.add_argument(
+        "--ckpt-dir", default="/tmp/inv256_ckpt",
+        help="checkpoint directory (per-level subdirs)",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the deepest checkpoint in --ckpt-dir (exact "
+        "replay: Adam moments + seed schedule are restored); targets "
+        "are re-used from the cache written on the first run",
+    )
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -85,14 +95,28 @@ def main() -> int:
         args.views, radius=100.0, res=res, fov_x_deg=0.8
     )
 
-    t0 = time.time()
-    targets = inverse.render_view_targets(
-        gt, albedo, spec, views, settings, res, args.target_spp, True
+    import os
+
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    tgt_cache = os.path.join(
+        args.ckpt_dir,
+        f"targets_n{n}_v{args.views}_r{args.res}_s{args.target_spp}"
+        f"_sc{args.scale:g}.npz",
     )
-    targets.block_until_ready()
-    t_targets = time.time() - t0
-    print(f"targets: {args.views} views x {args.target_spp} spp, "
-          f"{t_targets:.1f}s", flush=True)
+    t0 = time.time()
+    if args.resume and os.path.exists(tgt_cache):
+        targets = jnp.asarray(np.load(tgt_cache)["targets"])
+        t_targets = 0.0
+        print(f"targets: loaded cache {tgt_cache}", flush=True)
+    else:
+        targets = inverse.render_view_targets(
+            gt, albedo, spec, views, settings, res, args.target_spp, True
+        )
+        targets.block_until_ready()
+        t_targets = time.time() - t0
+        np.savez(tgt_cache, targets=np.asarray(targets))
+        print(f"targets: {args.views} views x {args.target_spp} spp, "
+              f"{t_targets:.1f}s", flush=True)
 
     levels = []
     sizes = [n // 4, n // 2, n]
@@ -103,7 +127,7 @@ def main() -> int:
         resolution=res, spp=args.spp, learning_rate=args.lr, seed=17,
         two_level=True, tv_weight=args.tv, views_per_step=2,
         spp_chunks=args.spp_chunks,
-        checkpoint_dir="/tmp/inv256_ckpt", checkpoint_every=50,
+        checkpoint_dir=args.ckpt_dir, checkpoint_every=10,
     )
 
     def progress(lvl, step, loss):
@@ -113,7 +137,7 @@ def main() -> int:
     t0 = time.time()
     density, losses = inverse.run_inverse_pyramid(
         targets, views, albedo, spec, settings, config, levels,
-        init_value=0.25, progress=progress,
+        init_value=0.25, progress=progress, resume=args.resume,
     )
     wall = time.time() - t0
 
@@ -130,8 +154,12 @@ def main() -> int:
         "tv_weight": args.tv,
         "wall_s": round(wall, 1),
         "target_render_s": round(t_targets, 1),
-        "loss_first": round(losses[0][0], 6),
-        "loss_last": round(losses[-1][-1], 6),
+        "loss_first": round(
+            next(l[0] for l in losses if l), 6
+        ),
+        "loss_last": round(
+            next(l[-1] for l in reversed(losses) if l), 6
+        ),
         "grid_mse_init": round(mse0, 6),
         "grid_mse_final": round(mse1, 6),
         "grid_mse_ratio": round(mse1 / mse0, 4),

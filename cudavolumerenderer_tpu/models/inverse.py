@@ -170,42 +170,74 @@ def orbit_camera_specs(
     return tuple(specs)
 
 
-def _save_checkpoint(path, step, density, albedo, opt_state):
-    """Checkpoint via orbax when importable, else npz fallback."""
+def _save_checkpoint(path, step, density, albedo, opt_state, seed=None):
+    """Write one self-contained .npz checkpoint: grid(s) + step + seed +
+    the FULL optimizer-state pytree (flattened leaves).
+
+    SURVEY.md §5 requires grid + step/PRNG state; all sample streams are
+    derived statelessly from (config.seed, step), so persisting those two
+    scalars IS persisting the PRNG state — a resumed run replays the
+    exact seed sequence of an unbroken run (tests/test_inverse.py).
+    Adam moments are saved leaf-by-leaf and re-attached on load to the
+    treedef of a fresh `optimizer.init(params)`, so resume continues the
+    same trajectory instead of silently resetting the moments (the
+    round-2 bug: opt_state was accepted and dropped)."""
     os.makedirs(path, exist_ok=True)
-    try:
-        import orbax.checkpoint as ocp  # noqa: PLC0415
-
-        ckpt = ocp.StandardCheckpointer()
-        ckpt.save(
-            os.path.join(os.path.abspath(path), f"step_{step}"),
-            {
-                "density": np.asarray(density),
-                "albedo": np.asarray(albedo),
-                "step": np.int64(step),
-            },
-            force=True,
-        )
-        ckpt.wait_until_finished()
-    except Exception:
-        np.savez(
-            os.path.join(path, f"step_{step}.npz"),
-            density=np.asarray(density),
-            albedo=np.asarray(albedo),
-            step=step,
-        )
+    payload = {
+        "density": np.asarray(density),
+        "albedo": np.asarray(albedo),
+        "step": np.int64(step),
+    }
+    if seed is not None:
+        payload["seed"] = np.int64(seed)
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        payload["n_opt_leaves"] = np.int64(len(leaves))
+        for i, leaf in enumerate(leaves):
+            payload[f"opt_{i}"] = np.asarray(leaf)
+    # np.savez appends .npz when missing, so the tmp name must carry it
+    tmp = os.path.join(path, f".tmp_step_{step}.npz")
+    np.savez(tmp, **payload)
+    os.replace(tmp, os.path.join(path, f"step_{step}.npz"))
 
 
-def load_checkpoint(path: str, step: int):
-    orbax_path = os.path.join(os.path.abspath(path), f"step_{step}")
-    if os.path.isdir(orbax_path):
-        import orbax.checkpoint as ocp  # noqa: PLC0415
-
-        ckpt = ocp.StandardCheckpointer()
-        data = ckpt.restore(orbax_path)
-        return data["density"], data["albedo"], int(data["step"])
+def load_checkpoint(path: str, step: int, opt_state_like=None):
+    """Load a checkpoint.  Returns (density, albedo, step) — plus the
+    restored optimizer state when `opt_state_like` (a template pytree,
+    e.g. `optimizer.init(params)`) is given and the checkpoint carries
+    the moments."""
     data = np.load(os.path.join(path, f"step_{step}.npz"))
-    return data["density"], data["albedo"], int(data["step"])
+    out = (data["density"], data["albedo"], int(data["step"]))
+    if opt_state_like is None:
+        return out
+    if "n_opt_leaves" not in data.files:
+        return out + (None,)
+    n = int(data["n_opt_leaves"])
+    template_leaves, treedef = jax.tree_util.tree_flatten(opt_state_like)
+    if len(template_leaves) != n:
+        raise ValueError(
+            f"checkpoint has {n} optimizer leaves, template has "
+            f"{len(template_leaves)} — optimizer mismatch"
+        )
+    leaves = [
+        jnp.asarray(data[f"opt_{i}"], template_leaves[i].dtype)
+        for i in range(n)
+    ]
+    return out + (jax.tree_util.tree_unflatten(treedef, leaves),)
+
+
+def find_latest_checkpoint(path: str):
+    """Largest checkpointed step in `path`, or None."""
+    if not os.path.isdir(path):
+        return None
+    steps = []
+    for name in os.listdir(path):
+        if name.startswith("step_") and name.endswith(".npz"):
+            try:
+                steps.append(int(name[len("step_"):-len(".npz")]))
+            except ValueError:
+                continue
+    return max(steps) if steps else None
 
 
 def run_inverse(
@@ -268,7 +300,8 @@ def run_inverse(
             and (step + 1) % config.checkpoint_every == 0
         ):
             _save_checkpoint(
-                config.checkpoint_dir, step + 1, density, albedo, opt_state
+                config.checkpoint_dir, step + 1, density, albedo,
+                opt_state, seed=config.seed,
             )
     return density, albedo, losses
 
@@ -323,6 +356,7 @@ def run_inverse_views(
     config: InverseConfig,
     progress: Optional[Callable[[int, float], None]] = None,
     opt_state=None,
+    start_step: int = 0,
 ):
     """Adam over round-robin view minibatches.  Each (view, sample
     chunk) is its own short device program (traced camera — ONE
@@ -330,11 +364,20 @@ def run_inverse_views(
     config.views_per_step x config.spp_chunks programs of a step.
     Per-view splitting is exact math (the multi-view loss is a mean of
     per-view MSEs); the chunking exists to bound per-program execution
-    time (long programs fault the device through the tunnel).  Returns
-    (density, losses, opt_state)."""
+    time (long programs fault the device through the tunnel).
+
+    start_step resumes mid-run: seeds derive from (config.seed, step),
+    so a run resumed at k (with the checkpointed opt_state) replays the
+    unbroken run's steps k.. exactly.  Returns (density, losses,
+    opt_state)."""
     import jax  # noqa: PLC0415
 
     n_chunks = max(1, int(config.spp_chunks))
+    if config.spp % n_chunks != 0:
+        raise ValueError(
+            f"spp={config.spp} not divisible by spp_chunks={n_chunks}: "
+            "the chunked loss would silently drop samples"
+        )
     chunk_spp = max(1, config.spp // n_chunks)
     chunk_cfg = dataclasses.replace(config, spp=chunk_spp)
     loss_fn = make_view_loss_fn(
@@ -352,7 +395,7 @@ def run_inverse_views(
     if opt_state is None:
         opt_state = optimizer.init(density)
     n_parts = config.views_per_step * n_chunks
-    for step in range(config.n_steps):
+    for step in range(start_step, config.n_steps):
         views = [
             (step * config.views_per_step + j) % n_views
             for j in range(config.views_per_step)
@@ -388,7 +431,7 @@ def run_inverse_views(
         ):
             _save_checkpoint(
                 config.checkpoint_dir, step + 1, density, albedo0,
-                opt_state,
+                opt_state, seed=config.seed,
             )
     return density, losses, opt_state
 
@@ -410,6 +453,7 @@ def run_inverse_pyramid(
     levels: Sequence[Tuple[int, int]],  # [(grid_n, n_steps), ...]
     init_value: float = 0.25,
     progress: Optional[Callable[[str, int, float], None]] = None,
+    resume: bool = False,
 ):
     """Coarse-to-fine recovery: optimize a small grid first (cheap,
     well-conditioned — each coarse voxel pools many paths), trilinearly
@@ -419,19 +463,62 @@ def run_inverse_pyramid(
     Mitsuba-family inverse pipelines) and what makes the 256^3 recovery
     (BASELINE config 5) converge where single-level Adam diverges.
 
+    Checkpoint/resume: with config.checkpoint_dir set, each level
+    checkpoints into `<dir>/L<grid_n>` (including a forced final-step
+    checkpoint — the upsample boundary must be replayable), and
+    `resume=True` restarts from the deepest level that has a checkpoint:
+    completed coarse levels are skipped, the interrupted level continues
+    at its saved step with its saved Adam moments, and the seed schedule
+    replays exactly (seeds derive from (config.seed, step)).  This is
+    what lets a multi-hour 256^3 run survive the device faults the
+    chunked programs exist for.
+
     Returns (density, per_level_losses)."""
+    import optax  # noqa: PLC0415
+
     density = jnp.full(
         (levels[0][0],) * 3, init_value, jnp.float32
     )
     all_losses = []
+    # resume: deepest level with any checkpoint wins
+    resume_li, resume_step, resume_opt_raw = -1, 0, None
+    if resume and config.checkpoint_dir:
+        for li, (n, steps) in enumerate(levels):
+            lvl_dir = os.path.join(config.checkpoint_dir, f"L{n}")
+            latest = find_latest_checkpoint(lvl_dir)
+            if latest is not None:
+                resume_li, resume_step = li, latest
     for li, (n, steps) in enumerate(levels):
-        if density.shape[0] != n:
+        lvl_dir = (
+            os.path.join(config.checkpoint_dir, f"L{n}")
+            if config.checkpoint_dir
+            else None
+        )
+        if li < resume_li:
+            all_losses.append([])
+            continue  # completed level; the deeper checkpoint carries it
+        opt_state = None
+        start_step = 0
+        if li == resume_li:
+            optimizer = optax.adam(config.learning_rate)
+            tpl = optimizer.init(jnp.zeros((n, n, n), jnp.float32))
+            d_ck, _, step_ck, opt_state = load_checkpoint(
+                lvl_dir, resume_step, opt_state_like=tpl
+            )
+            density = jnp.asarray(d_ck)
+            start_step = step_ck
+            if start_step >= steps:
+                all_losses.append([])
+                continue  # level already finished; move to the next
+        elif density.shape[0] != n:
             density = jnp.clip(
                 upsample_density(density, (n, n, n)),
                 *config.clip_density,
             )
-        lvl_cfg = dataclasses.replace(config, n_steps=steps)
-        density, losses, _ = run_inverse_views(
+        lvl_cfg = dataclasses.replace(
+            config, n_steps=steps, checkpoint_dir=lvl_dir
+        )
+        density, losses, opt_state = run_inverse_views(
             targets, camera_specs, density, albedo0, scene_spec,
             settings, lvl_cfg,
             progress=(
@@ -439,6 +526,13 @@ def run_inverse_pyramid(
                 if progress is None
                 else (lambda s, l, _n=n: progress(f"{_n}^3", s, l))
             ),
+            opt_state=opt_state,
+            start_step=start_step,
         )
+        if lvl_dir:
+            _save_checkpoint(
+                lvl_dir, steps, density, albedo0, opt_state,
+                seed=config.seed,
+            )
         all_losses.append(losses)
     return density, all_losses

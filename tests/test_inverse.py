@@ -132,6 +132,116 @@ class TestInverse:
         assert mse1 / mse0 < 0.6, (mse0, mse1)
         assert losses[-1][-1] < losses[0][0] * 0.3
 
+    def test_resume_matches_unbroken_run(self, tmp_path):
+        """A run killed at step k and resumed from its checkpoint must
+        reproduce the unbroken run's loss trajectory EXACTLY: the
+        checkpoint carries the Adam moments and the seed schedule
+        derives from (config.seed, step) — VERDICT r2 item 3 (the
+        round-2 checkpoint silently dropped opt_state)."""
+        from cudavolumerenderer_tpu.models.inverse import (
+            find_latest_checkpoint,
+            run_inverse_views,
+        )
+        import optax
+
+        spec, _, settings, density, albedo = setup()
+        cams = orbit_camera_specs(2, radius=100.0, res=(8, 8),
+                                  fov_x_deg=0.4)
+        targets = render_view_targets(
+            density, albedo, spec, cams, settings, (8, 8), 32, False
+        )
+        d0 = jnp.full_like(density, 0.4)
+        base = dict(
+            resolution=(8, 8), spp=16, learning_rate=0.05, seed=11,
+            views_per_step=2,
+        )
+        # unbroken 8-step run
+        cfg_full = InverseConfig(n_steps=8, **base)
+        d_full, losses_full, _ = run_inverse_views(
+            targets, cams, d0, albedo, spec, settings, cfg_full
+        )
+        # killed at step 4 (checkpoint every 2), resumed to 8
+        ck = str(tmp_path / "ck")
+        cfg_part = InverseConfig(
+            n_steps=4, checkpoint_dir=ck, checkpoint_every=2, **base
+        )
+        run_inverse_views(
+            targets, cams, d0, albedo, spec, settings, cfg_part
+        )
+        latest = find_latest_checkpoint(ck)
+        assert latest == 4
+        optimizer = optax.adam(base["learning_rate"])
+        tpl = optimizer.init(d0)
+        d_ck, _, step_ck, opt_ck = load_checkpoint(
+            ck, latest, opt_state_like=tpl
+        )
+        assert opt_ck is not None
+        cfg_res = InverseConfig(n_steps=8, **base)
+        d_res, losses_res, _ = run_inverse_views(
+            targets, cams, jnp.asarray(d_ck), albedo, spec, settings,
+            cfg_res, opt_state=opt_ck, start_step=step_ck,
+        )
+        # steps 4..7 of the resumed run match the unbroken run exactly
+        np.testing.assert_allclose(
+            losses_res, losses_full[4:], rtol=0, atol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_res), np.asarray(d_full)
+        )
+
+    def test_pyramid_resume(self, tmp_path):
+        """Pyramid resume restarts from the deepest checkpointed level
+        and ends bit-identical to the unbroken pyramid."""
+        gt = jnp.asarray(procedural.blob_volume((8, 8, 8), n_blobs=2))
+        albedo = jnp.full((1, 1, 1, 4), 0.6, jnp.float32)
+        spec = SceneSpec(scale=8.0, max_density=1.0)
+        settings = RenderSettings.from_flags(
+            True, russian_roulette=False, max_path_length=8
+        )
+        views = orbit_camera_specs(2, radius=100.0, res=(8, 8),
+                                   fov_x_deg=0.8)
+        targets = render_view_targets(
+            gt, albedo, spec, views, settings, (8, 8), 16, False
+        )
+        levels = [(4, 4), (8, 4)]
+        ck = str(tmp_path / "pyr")
+        cfg = InverseConfig(
+            resolution=(8, 8), spp=8, learning_rate=0.08, seed=5,
+            views_per_step=2, checkpoint_dir=ck, checkpoint_every=2,
+        )
+        d_full, _ = run_inverse_pyramid(
+            targets, views, albedo, spec, settings, cfg, levels
+        )
+        # wipe the fine level's late checkpoints to simulate a fault
+        # mid-level-2, then resume
+        for f in sorted(os.listdir(os.path.join(ck, "L8"))):
+            step = int(f[len("step_"):-len(".npz")])
+            if step > 2:
+                os.remove(os.path.join(ck, "L8", f))
+        d_res, _ = run_inverse_pyramid(
+            targets, views, albedo, spec, settings, cfg, levels,
+            resume=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_res), np.asarray(d_full)
+        )
+
+    def test_spp_chunks_must_divide(self):
+        from cudavolumerenderer_tpu.models.inverse import (
+            run_inverse_views,
+        )
+        import pytest
+
+        spec, _, settings, density, albedo = setup()
+        cams = orbit_camera_specs(2, radius=100.0, res=(8, 8))
+        targets = jnp.zeros((2, 8, 8, 3), jnp.float32)
+        cfg = InverseConfig(resolution=(8, 8), spp=8, spp_chunks=3,
+                            n_steps=1)
+        with pytest.raises(ValueError, match="spp_chunks"):
+            run_inverse_views(
+                targets, cams, density, albedo, spec, settings, cfg
+            )
+
     def test_upsample_density(self):
         d = jnp.asarray(np.random.RandomState(1).rand(4, 4, 4))
         up = upsample_density(d, (8, 8, 8))
