@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --interactive: render N frames orbiting the volume "
         "(offline replacement for the GLFW rotate control)",
     )
+    p.add_argument(
+        "--camera-path", metavar="FILE", default=None,
+        help="with --interactive: replay a scripted camera path "
+        "(rotate/zoom/pan/lookat/render events; motion resets the "
+        "progressive accumulation exactly like the reference's "
+        "mouse-dirty -> reset flow)",
+    )
     return p
 
 
@@ -208,6 +215,51 @@ def run_test(config: Config) -> dict:
     return result
 
 
+def run_camera_path(config: Config, path_file: str) -> None:
+    """Scripted interactive-camera replay: rotate/zoom/pan events drive
+    the quaternion CameraController (Camera.h:74-122 dynamics) and any
+    motion resets the progressive accumulation before the next render —
+    the InputController dirty-flag → reset() → initRendering flow
+    (InteractiveRenderer.h:102,251-282,314-317), minus the GLFW window
+    (BASELINE sanctions the offline replacement)."""
+    from .ops.camera_controller import CameraController, parse_camera_path
+
+    scene, _ = load_scene(config)
+    w, h = config.resolution
+    with open(path_file) as f:
+        events = parse_camera_path(f.read())
+    ctl = CameraController(w, h, fov_x_deg=0.7)
+    renderer = create_renderer(scene, ctl.camera(), config)
+    frame = 0
+    for op, args in events:
+        if op == "rotate":
+            ctl.rotate(*args)
+        elif op == "zoom":
+            ctl.zoom(*args)
+        elif op == "pan":
+            ctl.pan(*args)
+        elif op == "lookat":
+            ctl.look_at(args[0:3], args[3:6], (0.0, 1.0, 0.0))
+        elif op == "render":
+            if ctl.consume_dirty():
+                # motion invalidates the accumulated image: rebuild the
+                # camera and restart accumulation (reference reset())
+                renderer.camera = ctl.camera()
+                renderer.init_rendering()
+                print(f"{PRINT_PREFIX}camera moved, accumulation reset")
+            for _ in range(args[0]):
+                renderer.run_iterations(spp=1)
+            frame += 1
+            save_png(
+                f"{config.output_name}_path{frame:04d}.png",
+                tonemap(renderer.get_image()),
+            )
+            print(
+                f"{PRINT_PREFIX}path frame {frame} dumped "
+                f"({int(renderer.iterations_done.min())} it)"
+            )
+
+
 def run_interactive(config: Config, orbit: int = 0) -> None:
     """Offline progressive mode: refine and dump frames periodically
     (replaces GLViewController's 0.1 s refinement budget loop,
@@ -268,7 +320,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"{PRINT_PREFIX}algorithm set to {config.algorithm.value}.")
     print(f"{PRINT_PREFIX}kernel set to {config.kernel.value}.")
     print(f"{PRINT_PREFIX}iterations set to {config.iterations}.")
-    if config.interactive:
+    if config.interactive and args.camera_path:
+        run_camera_path(config, args.camera_path)
+    elif config.interactive:
         run_interactive(config, orbit=args.orbit)
     else:
         run_test(config)

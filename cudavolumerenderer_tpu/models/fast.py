@@ -116,6 +116,12 @@ def make_fused_grid(scene: Scene, mode: str = None) -> jnp.ndarray:
 #: (trailing dim 8) pads every (8, 128) tile 16x during the transpose —
 #: a 64 GB HBM intermediate at 1024^3 (measured OOM).
 _BM_BRICK = (8, 8, 128)
+# shift/mask constants derived from _BM_BRICK (all dims must be powers
+# of two); tap_flat_idx uses these so a future _BM_BRICK edit cannot
+# silently desynchronize the indexing from the layout
+_BM_SHIFT = tuple(d.bit_length() - 1 for d in _BM_BRICK)  # (z, y, x)
+_BM_MASK = tuple(d - 1 for d in _BM_BRICK)
+assert all(1 << s == d for s, d in zip(_BM_SHIFT, _BM_BRICK))
 
 
 def brick_major_table(density_zyx: jnp.ndarray) -> jnp.ndarray:
@@ -423,16 +429,19 @@ def render_tile(
 
     def tap_flat_idx(ix, iy, iz):
         """Flat table index of a clamped integer tap (row-major or
-        brick-major layout)."""
+        brick-major layout).  Brick-major shifts/masks derive from
+        _BM_BRICK (powers of two asserted at module load)."""
         if not use_bm:
             return (iz * ny + iy) * nx + ix
+        sz, sy, sx = _BM_SHIFT
+        mz, my, mx = _BM_MASK
         return (
             (
-                ((iz >> 3) * (ny // ey_bm) + (iy >> 3)) * (nx // ex_bm)
-                + (ix >> 7)
+                ((iz >> sz) * (ny // ey_bm) + (iy >> sy)) * (nx // ex_bm)
+                + (ix >> sx)
             )
             * (ez_bm * ey_bm * ex_bm)
-            + ((iz & 7) << 10) + ((iy & 7) << 7) + (ix & 127)
+            + (((iz & mz) << (sy + sx)) + ((iy & my) << sx) + (ix & mx))
         )
 
     def row_rho(row):

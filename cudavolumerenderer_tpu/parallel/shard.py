@@ -45,10 +45,10 @@ def render_sharded(
     tile_dim: Tuple[int, int] = None,
     tile_offset=None,
     path_id_base: int = 0,
+    **fast_kwargs,
 ):
     """Render `spp` total samples/pixel sharded over the mesh's 'rays'
-    axis.  spp must be divisible by the axis size.  Returns (image,
-    n_rays) replicated on all devices.
+    axis.  Returns (image, n_rays) replicated on all devices.
 
     kernel: 'streaming' | 'naive' | 'fast' (the flagship scheduler,
     optionally with two-level sparse-leap tracking).  Sample path ids
@@ -56,14 +56,26 @@ def render_sharded(
     same id set a single-device render uses — shard invariance holds by
     construction for every kernel.
 
+    spp need not divide the mesh size: spp = q*n_dev + r renders the q
+    blocks sharded as usual, then the r remainder samples in a second
+    dispatch whose per-device images are masked to shard 0 before the
+    psum (every device traces the same static program — an SPMD
+    requirement — but only shard 0's remainder contributes, so the path
+    id union is exactly the single-device id set and shard invariance
+    still holds bit-for-bit).
+
+    Extra keyword arguments are forwarded to fast.render_tile (kernel
+    knobs: cascade_factor, tail_spec, spec_width, min_width, ... — the
+    same tuning surface renderer.make_kernel_fn exposes), so sharded
+    renders run the measured-best configuration, not the defaults.
+
     tile_dim/tile_offset render one tile of a larger `resolution` image
     (the progressive tiled path, CudaVolPath.cpp:249-280, sharded): the
     returned image has tile_dim shape."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
-    if spp % n_dev != 0:
-        raise ValueError(f"spp={spp} not divisible by mesh size {n_dev}")
     spp_shard = spp // n_dev
+    spp_rem = spp - spp_shard * n_dev
     if tile_dim is None:
         tile_dim = resolution
     if tile_offset is None:
@@ -71,31 +83,45 @@ def render_sharded(
     w, h = tile_dim
     n_pix = w * h
 
+    def render_one(scene_r, camera_r, tile_off_r, spp_n, base):
+        if kernel == "fast":
+            return fast.render_tile(
+                scene_r, camera_r, settings, tile_dim,
+                tile_off_r, resolution, spp_n, seed,
+                base, lanes_per_pixel=lanes_per_pixel,
+                two_level=two_level, **fast_kwargs,
+            )
+        if kernel == "streaming":
+            return streaming.render_tile(
+                scene_r, camera_r, settings, tile_dim,
+                tile_off_r, resolution, spp_n, seed,
+                base, n_lanes=min(n_lanes, n_pix * spp_n),
+            )
+        return naive.render_tile(
+            scene_r, camera_r, settings, tile_dim,
+            tile_off_r, resolution, spp_n, seed, base,
+        )
+
     def shard_fn(scene_r, camera_r, tile_off_r):
         idx = jax.lax.axis_index(axis)
-        base = (
-            jnp.uint32(path_id_base)
-            + (idx * n_pix * spp_shard).astype(jnp.uint32)
-        )
-        if kernel == "fast":
-            img, n_rays = fast.render_tile(
-                scene_r, camera_r, settings, tile_dim,
-                tile_off_r, resolution, spp_shard, seed,
-                base, lanes_per_pixel=lanes_per_pixel,
-                two_level=two_level,
+        img = jnp.zeros((h, w, 3), jnp.float32)
+        n_rays = jnp.zeros((), jnp.float32)
+        if spp_shard > 0:
+            base = (
+                jnp.uint32(path_id_base)
+                + (idx * n_pix * spp_shard).astype(jnp.uint32)
             )
-        elif kernel == "streaming":
-            img, n_rays = streaming.render_tile(
-                scene_r, camera_r, settings, tile_dim,
-                tile_off_r, resolution, spp_shard, seed,
-                base, n_lanes=min(n_lanes, n_pix * spp_shard),
+            img, n_rays = render_one(
+                scene_r, camera_r, tile_off_r, spp_shard, base
             )
-        else:
-            img, n_rays = naive.render_tile(
-                scene_r, camera_r, settings, tile_dim,
-                tile_off_r, resolution, spp_shard, seed,
-                base,
+        if spp_rem > 0:
+            base_rem = jnp.uint32(path_id_base + n_pix * spp_shard * n_dev)
+            img_r, rays_r = render_one(
+                scene_r, camera_r, tile_off_r, spp_rem, base_rem
             )
+            keep = (idx == 0).astype(jnp.float32)
+            img = img + img_r * keep
+            n_rays = n_rays + rays_r * keep
         img = jax.lax.psum(img, axis)
         n_rays = jax.lax.psum(n_rays, axis)
         return img, n_rays

@@ -119,6 +119,7 @@ _VDB_MAGIC = 0x56444220
 _VDB_VERSION = 224
 _COMPRESS_ZIP = 0x1
 _COMPRESS_ACTIVE_MASK = 0x2
+_COMPRESS_BLOSC = 0x4
 
 
 def _wstr(parts, s: str) -> None:
@@ -154,17 +155,59 @@ def _mask_bytes(bits_flat: np.ndarray) -> bytes:
     ).tobytes()
 
 
-def _zip_values(raw: bytes, use_zip: bool) -> bytes:
+def _blosc_compress(raw: bytes) -> bytes | None:
+    """Compress with the system c-blosc (lz4 + byte shuffle — OpenVDB's
+    default writer configuration) via ctypes; None when unavailable."""
+    import ctypes
+    import ctypes.util
+
+    global _BLOSC_LIB, _BLOSC_TRIED
+    if not _BLOSC_TRIED:
+        _BLOSC_TRIED = True
+        name = ctypes.util.find_library("blosc") or "libblosc.so.1"
+        try:
+            _BLOSC_LIB = ctypes.CDLL(name)
+            _BLOSC_LIB.blosc_compress_ctx.restype = ctypes.c_int
+        except OSError:
+            _BLOSC_LIB = None
+    if _BLOSC_LIB is None:
+        return None
+    out = ctypes.create_string_buffer(len(raw) + 16)
+    n = _BLOSC_LIB.blosc_compress_ctx(
+        ctypes.c_int(9), ctypes.c_int(1), ctypes.c_size_t(4),
+        ctypes.c_size_t(len(raw)), raw, out,
+        ctypes.c_size_t(len(raw) + 16), b"lz4",
+        ctypes.c_size_t(0), ctypes.c_int(1),
+    )
+    if n <= 0:
+        return None
+    return out.raw[:n]
+
+
+_BLOSC_LIB = None
+_BLOSC_TRIED = False
+
+
+def _compress_values(raw: bytes, mode: str) -> bytes:
+    """Value-buffer payload with io::readCompressedData framing:
+    int64 compressed size + payload, negative size = stored raw."""
     import zlib
 
-    if not use_zip:
+    if mode == "none":
         return raw
+    if mode == "blosc":
+        z = _blosc_compress(raw)
+        if z is None or len(z) >= len(raw):
+            # c-blosc unavailable or incompressible: OpenVDB stores the
+            # buffer uncompressed with a negative count
+            return np.int64(-len(raw)).tobytes() + raw
+        return np.int64(len(z)).tobytes() + z
     z = zlib.compress(raw)
     return np.int64(len(z)).tobytes() + z
 
 
 def _write_tree(parts, dense_zyx: np.ndarray, channels: int,
-                use_zip: bool) -> None:
+                mode: str) -> None:
     """5-4-3 tree over one Internal1 node at the origin (grids up to
     4096^3), active-mask value compression."""
     nz, ny, nx = dense_zyx.shape[:3]
@@ -227,7 +270,7 @@ def _write_tree(parts, dense_zyx: np.ndarray, channels: int,
         flat = blk.transpose(2, 1, 0, 3).reshape(512, -1)  # z-fastest
         act_flat = act.transpose(2, 1, 0).reshape(512)
         vals = flat[act_flat].astype(np.float32)
-        parts.append(_zip_values(vals.tobytes(), use_zip))
+        parts.append(_compress_values(vals.tobytes(), mode))
 
 
 def write_vdb(path: str, density_zyx: np.ndarray,
@@ -236,10 +279,15 @@ def write_vdb(path: str, density_zyx: np.ndarray,
     """Write an OpenVDB archive with 'density' (float) and optionally
     'albedo' (vec3s) grids — the exact pair the reference's
     VDBSceneBuilder expects.  File version 224, active-mask (+ optional
-    zip) value compression, UniformScaleMap transform."""
+    zip or blosc/lz4) value compression, UniformScaleMap transform.
+    compression='blosc' uses the system c-blosc when present (falling
+    back to raw-stored buffers, which every OpenVDB reader accepts)."""
     density_zyx = np.asarray(density_zyx, np.float32)
-    use_zip = compression == "zip"
-    comp_flags = _COMPRESS_ACTIVE_MASK | (_COMPRESS_ZIP if use_zip else 0)
+    if compression not in ("none", "zip", "blosc"):
+        raise ValueError(f"unknown compression {compression!r}")
+    comp_flags = _COMPRESS_ACTIVE_MASK | {
+        "none": 0, "zip": _COMPRESS_ZIP, "blosc": _COMPRESS_BLOSC,
+    }[compression]
 
     grids = [("density", density_zyx[..., None], 1, "Tree_float_5_4_3")]
     if albedo_zyx is not None:
@@ -272,7 +320,7 @@ def write_vdb(path: str, density_zyx: np.ndarray,
         body.append(np.uint32(0).tobytes())  # grid metadata count
         _wstr(body, "UniformScaleMap")
         body.append(np.full(15, 1.0, np.float64).tobytes())  # map data
-        _write_tree(body, data, channels, use_zip)
+        _write_tree(body, data, channels, compression)
         body_blob = b"".join(body)
 
         # topology begins right after the transform; block_pos is only
