@@ -81,11 +81,35 @@ def main() -> int:
     sweep = [
         ("bricks16", dict(**base, max_bricks=4096)),
         ("bricks16+tb4", dict(**base, max_bricks=4096, tail_bricks=4)),
-        ("bricks16+tb8", dict(**base, max_bricks=4096, tail_bricks=8)),
-        ("bricks16+tb2", dict(**base, max_bricks=4096, tail_bricks=2)),
-        ("bricks16+tb4-w64k",
-         dict(**base, max_bricks=4096, tail_bricks=4, tail_width=65536)),
-        ("tb4", dict(**base, tail_bricks=4)),
+        # round-3 sweep (VERDICT r2 items 2+9): finish the spec_width /
+        # tail knob sweep and measure the Pallas tail kernel.
+        # (a) speculative single-level tail confined to narrow pools:
+        # a (512, K) gather is still ~1 latency-floor row fetch, and
+        # with a global majorant every speculative step stays valid
+        ("b16+spec8@512",
+         dict(**base, max_bricks=4096, min_width=512,
+              tail_single_level=True, tail_spec=8, spec_width=512)),
+        ("b16+spec16@512",
+         dict(**base, max_bricks=4096, min_width=512,
+              tail_single_level=True, tail_spec=16, spec_width=512)),
+        ("b16+spec32@512",
+         dict(**base, max_bricks=4096, min_width=512,
+              tail_single_level=True, tail_spec=32, spec_width=512)),
+        ("b16+spec16@2048",
+         dict(**base, max_bricks=4096, min_width=2048,
+              tail_single_level=True, tail_spec=16, spec_width=2048)),
+        # (b) deeper cascade alone (does shrinking the pool pay at all?)
+        ("b16+minw512", dict(**base, max_bricks=4096, min_width=512)),
+        # (c) the persistent Pallas tail kernel (ops/pallas/tailpk.py)
+        ("b16+tailpk128",
+         dict(**base, max_bricks=4096, tail_pallas=True,
+              tail_pk_width=128, tail_pk_steps=16)),
+        ("b16+tailpk256",
+         dict(**base, max_bricks=4096, tail_pallas=True,
+              tail_pk_width=256, tail_pk_steps=16)),
+        ("b16+tailpk128s32",
+         dict(**base, max_bricks=4096, tail_pallas=True,
+              tail_pk_width=128, tail_pk_steps=32)),
     ]
     for key, kw in sweep:
         times, rays = [], 0.0
@@ -110,9 +134,10 @@ def main() -> int:
         }
         print(f"{key:28s} {[round(t,3) for t in times]}"
               f" -> {mrays:6.2f} Mrays/s", flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        # flush incrementally: compiles through the tunnel can take
+        # tens of minutes and the process may be cut at round end
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
     return 0
 
 

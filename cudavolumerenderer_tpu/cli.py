@@ -114,6 +114,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="fastSK: speculative Woodcock steps per tail body",
     )
     p.add_argument(
+        "--spec-width", type=int, default=None,
+        help="fastSK: pool width below which the speculative/"
+        "single-level tail modes engage",
+    )
+    p.add_argument(
+        "--min-width", type=int, default=4096,
+        help="fastSK: cascade bottom pool width",
+    )
+    p.add_argument(
+        "--tail-bricks", type=int, default=0,
+        help="fastSK: finer brick granularity for tail pools (0=off)",
+    )
+    p.add_argument(
+        "--tail-pallas", action="store_true",
+        help="fastSK: persistent Pallas tail kernel (in-VMEM tracking "
+        "+ scatter once the tail fits --tail-pk-width rows)",
+    )
+    p.add_argument("--tail-pk-width", type=int, default=128)
+    p.add_argument("--tail-pk-steps", type=int, default=16)
+    p.add_argument(
         "--orbit", type=int, default=0, metavar="N",
         help="with --interactive: render N frames orbiting the volume "
         "(offline replacement for the GLFW rotate control)",
@@ -163,6 +183,12 @@ def config_from_args(args) -> Config:
         cascade_factor=args.cascade_factor,
         tail_single_level=args.tail_single_level,
         tail_spec=args.tail_spec,
+        spec_width=args.spec_width,
+        min_width=args.min_width,
+        tail_bricks=args.tail_bricks,
+        tail_pallas=args.tail_pallas,
+        tail_pk_width=args.tail_pk_width,
+        tail_pk_steps=args.tail_pk_steps,
         settings=RenderSettings.from_flags(args.mitsuba_comparable),
     )
     if config.output_name is None:

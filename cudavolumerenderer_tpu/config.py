@@ -143,6 +143,21 @@ class Config:
     tail_single_level: bool = False
     #: speculative Woodcock steps per body evaluation in tail pools
     tail_spec: int = 1
+    #: pool width below which spec/single-level tail modes engage
+    #: (None = tail_width's default); separate from tail_width because
+    #: an (N, K) speculative gather only rides the latency floor when
+    #: N*K stays small
+    spec_width: int = None
+    #: cascade bottom pool width (smaller = deeper cascade)
+    min_width: int = 4096
+    #: finer tail-pool brick granularity (0 = same table as full width)
+    tail_bricks: int = 0
+    #: fastSK persistent Pallas tail kernel (ops/pallas/tailpk.py):
+    #: in-VMEM tracking + scatter + RR once the pending count fits
+    #: tail_pk_width rows; requires const/affine albedo
+    tail_pallas: bool = False
+    tail_pk_width: int = 128
+    tail_pk_steps: int = 16
     settings: RenderSettings = dataclasses.field(
         default_factory=lambda: RenderSettings.from_flags(True)
     )

@@ -364,6 +364,8 @@ def _cascade_widths(
         "brick_major", "cascade_factor",
         "tail_chain", "tail_spec", "tail_width", "spec_width",
         "min_width", "tail_single_level", "tail_bricks",
+        "tail_pallas", "tail_pk_width", "tail_pk_steps",
+        "tail_pk_interpret",
     ),
 )
 def render_tile(
@@ -390,6 +392,10 @@ def render_tile(
     min_width: int = _MIN_WIDTH,
     tail_single_level: bool = False,
     tail_bricks: int = 0,
+    tail_pallas: bool = False,
+    tail_pk_width: int = 128,
+    tail_pk_steps: int = 16,
+    tail_pk_interpret: bool = False,
 ):
     """defer_ggx=G > 0 batches boundary events: a lane that reaches the
     box surface stalls (pend_b) and the trig-heavy GGX sampler runs once
@@ -1048,12 +1054,48 @@ def render_tile(
 
     # --- cascade: shrink the pool as the tail empties ---------------------
     widths = _cascade_widths(n_lanes, cascade_factor, min_width)
+    # tailPK (ops/pallas/tailpk.py): the persistent Pallas tail kernel
+    # takes over once the pending count fits its row budget.  Requires a
+    # density-only table family (const/affine albedo — the kernel
+    # reconstructs albedo as A*rho+B on the VPU) and the inline GGX
+    # path (boundary events run in the XLA service loop).
+    use_tailpk = (
+        tail_pallas
+        and _albedo_mode(scene) in ("const", "affine")
+        and defer_ggx == 0
+    )
+    pk_width = min(tail_pk_width, n_lanes)
     img = jnp.zeros((n_pix, 3), jnp.float32)
     state = state0
     stage_rows = []  # per-stage lane-rows (with_stats diagnostics)
+
+    def flush_compact(state, img, next_width):
+        """Flush finished lanes' accumulators and argsort-compact the
+        pending lanes into a next_width pool."""
+        pending = jnp.logical_or(
+            state.alive, state.samples_done < spp_per_lane
+        )
+        flush_idx = jnp.where(pending, n_pix, state.pix)  # n_pix drops
+        img = img.at[flush_idx].add(state.accum, mode="drop")
+        # flushed lanes may survive the cut when pending < next width:
+        # zero their accumulators so nothing flushes twice
+        state = state._replace(
+            accum=jnp.where(pending[..., None], state.accum, 0.0)
+        )
+        order = jnp.argsort(
+            jnp.logical_not(pending).astype(jnp.int32)
+        )[:next_width]
+        packed = jnp.take(_pack(state), order, axis=0)
+        state = _unpack(
+            packed, (state.n_rays, state.n_rows, state.n_busy)
+        )
+        return state, img
+
     for stage, width in enumerate(widths):
         last = stage == len(widths) - 1
-        thresh = 0 if last else widths[stage + 1]
+        thresh = (pk_width if use_tailpk else 0) if last else widths[
+            stage + 1
+        ]
         # narrow tail pools amortize per-iteration loop overhead by
         # chaining several complete body evaluations per while-iteration
         # (each is a full, correct iteration; masked draws keep per-path
@@ -1096,28 +1138,22 @@ def render_tile(
         rows_before = state.n_rows
         state = jax.lax.while_loop(cond, chained, state)
         stage_rows.append(state.n_rows - rows_before)
-        if last:
+        if last and not use_tailpk:
             # all lanes finished: flush every accumulator
             img = img.at[state.pix].add(state.accum, mode="drop")
         else:
-            # flush finished lanes, compact pending ones into the next pool
-            pending = jnp.logical_or(
-                state.alive, state.samples_done < spp_per_lane
-            )
-            flush_idx = jnp.where(pending, n_pix, state.pix)  # n_pix drops
-            img = img.at[flush_idx].add(state.accum, mode="drop")
-            # flushed lanes may survive the cut when pending < next width:
-            # zero their accumulators so nothing flushes twice
-            state = state._replace(
-                accum=jnp.where(pending[..., None], state.accum, 0.0)
-            )
-            order = jnp.argsort(
-                jnp.logical_not(pending).astype(jnp.int32)
-            )[: widths[stage + 1]]
-            packed = jnp.take(_pack(state), order, axis=0)
-            state = _unpack(
-                packed, (state.n_rays, state.n_rows, state.n_busy)
-            )
+            next_w = pk_width if last else widths[stage + 1]
+            state, img = flush_compact(state, img, next_w)
+
+    if use_tailpk:
+        rows_before = state.n_rows
+        state, img = _run_tailpk_stage(
+            state, img, scene, camera, settings, tile_offset,
+            full_resolution, tw, n_pix, m, spp_per_lane, seed,
+            path_id_of, tail_pk_steps, tail_pk_interpret,
+        )
+        stage_rows.append(state.n_rows - rows_before)
+        img = img.at[state.pix].add(state.accum, mode="drop")
 
     img = img.reshape(th, tw, 3)
     if with_stats:
@@ -1126,3 +1162,279 @@ def render_tile(
             jnp.stack(stage_rows),
         )
     return img, state.n_rays
+
+
+def _run_tailpk_stage(
+    state: FastState, img, scene, camera, settings, tile_offset,
+    full_resolution, tw, n_pix, m, spp_per_lane, seed, path_id_of,
+    pk_steps, interpret,
+):
+    """XLA service loop around the persistent Pallas tail kernel
+    (ops/pallas/tailpk.py — design rationale there).
+
+    Division of labor per service round, mirroring the XLA body()'s
+    event structure: this loop regenerates finished lanes (camera rays),
+    runs the AABB entry/miss classification, applies boundary events
+    (integrator.boundary_event + cap + Russian roulette — body() order),
+    refreshes each tracking lane's dilated-brick VMEM window (ONE
+    row gather from the (NB, 39, 128) table), and then hands the pool to
+    the kernel for pk_steps in-VMEM tracking steps in which scatters,
+    RR, and the path-length cap are all handled without leaving the
+    chip.  One service round therefore advances each deep path by a
+    whole brick residency (several scatter events), where the XLA tail
+    pool advanced it by ONE Woodcock step per equally-priced iteration —
+    the reference's persistent-thread economics
+    (RegenerationVolPTsk_kernel.cuh:147-232), reached the TPU way."""
+    from ..ops.pallas import tailpk as tpk
+
+    med = scene.medium
+    R = state.alive.shape[0]
+    nz, ny, nx = med.density.data.shape
+    res_minus_1 = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32)
+    extent = med.box_max - med.box_min
+    scale = med.scale
+    epsw = jnp.max(extent) * 1e-6
+
+    tab, major, (nbz, nby, nbx) = tpk.dilated_tail_bricks(
+        med.density.data
+    )
+    mode = _albedo_mode(scene)
+    if mode == "const":
+        A_alb = jnp.zeros(3, jnp.float32)
+        B_alb = scene.medium.albedo.data.reshape(-1)[:3]
+    else:
+        A_alb = med.albedo_affine[0]
+        B_alb = med.albedo_affine[1]
+
+    vals = jnp.concatenate([
+        jnp.stack([scale.astype(jnp.float32), med.g.astype(jnp.float32)]),
+        A_alb, B_alb,
+        med.box_min.astype(jnp.float32), extent.astype(jnp.float32),
+        res_minus_1,
+        jnp.asarray(
+            [float(settings.max_path_length),
+             1.0 if settings.russian_roulette else 0.0,
+             float(nx), float(ny), float(nz)], jnp.float32
+        ),
+    ])
+    params = jnp.zeros((8, 128), jnp.float32).at[0, : tpk.N_PARAMS].set(
+        vals
+    )
+
+    brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
+
+    def bc_f(x):
+        return jnp.broadcast_to(x[:, None], (R, 128)).astype(jnp.float32)
+
+    def bc_i(x):
+        return jnp.broadcast_to(
+            x[:, None].astype(jnp.int32), (R, 128)
+        )
+
+    def bc_u(x):
+        return jnp.broadcast_to(
+            x[:, None].astype(jnp.uint32), (R, 128)
+        )
+
+    def pending_of(alive, samples_done):
+        return jnp.logical_or(alive, samples_done < spp_per_lane)
+
+    def cond(c):
+        return jnp.sum(
+            pending_of(c[11], c[9]).astype(jnp.int32)
+        ) > 0
+
+    def body(c):
+        (o, d, tput, accum, normal, t, max_t, pix, slot, samples_done,
+         bounce, alive, tracking, exit_box, rng, n_rays, n_rows,
+         n_busy) = c
+
+        # --- regenerate (body()'s regen block at (R,) width) -----------
+        needs = jnp.logical_and(
+            jnp.logical_not(alive), samples_done < spp_per_lane
+        )
+        fresh = make_rng(seed, path_id_of(pix, slot, samples_done))
+        rng = RngState(
+            state=jnp.where(needs, fresh.state, rng.state),
+            inc=jnp.where(needs, fresh.inc, rng.inc),
+        )
+        px = (pix % tw).astype(jnp.float32) + tile_offset[0]
+        py = jnp.floor(pix.astype(jnp.float32) / tw) + tile_offset[1]
+        pixel_xy = jnp.stack([px, py], axis=-1)
+        o_new, d_new, rng = cam.generate_rays(
+            camera, pixel_xy, full_resolution, rng, active=needs
+        )
+        mm = needs[..., None]
+        o = jnp.where(mm, o_new, o)
+        d = jnp.where(mm, d_new, d)
+        tput = jnp.where(mm, 1.0, tput)
+        alive = jnp.logical_or(alive, needs)
+        tracking = jnp.where(needs, False, tracking)
+        exit_box = jnp.where(needs, False, exit_box)
+        bounce = jnp.where(needs, 0, bounce)
+
+        # --- AABB entry / miss service ---------------------------------
+        need_isect = jnp.logical_and(
+            alive,
+            jnp.logical_and(
+                jnp.logical_not(tracking), jnp.logical_not(exit_box)
+            ),
+        )
+        n_rays = n_rays + jnp.sum(need_isect.astype(jnp.float32))
+        isect = aabb.aabb_intersect(med.box_min, med.box_max, o, d)
+        miss = jnp.logical_and(need_isect, jnp.logical_not(isect.hit))
+        accum = jnp.where(
+            miss[..., None], accum + tput * scene.le, accum
+        )
+        samples_done = jnp.where(miss, samples_done + 1, samples_done)
+        alive = jnp.logical_and(alive, jnp.logical_not(miss))
+        enters = jnp.logical_and(
+            need_isect, jnp.logical_and(isect.hit, isect.inside_volume)
+        )
+        boundary_now = jnp.logical_and(
+            need_isect,
+            jnp.logical_and(
+                isect.hit, jnp.logical_not(isect.inside_volume)
+            ),
+        )
+        tracking = jnp.logical_or(tracking, enters)
+        t = jnp.where(enters, 0.0, t)
+        max_t = jnp.where(enters, isect.dist, max_t)
+        normal = jnp.where(need_isect[..., None], isect.normal, normal)
+
+        # --- boundary events (kernel EXIT_BOX + fresh outside hits) ----
+        bmask = jnp.logical_or(exit_box, boundary_now)
+        o_bound = jnp.where(
+            boundary_now[..., None],
+            o + d * isect.dist[..., None],
+            o + d * max_t[..., None],
+        )
+        o_b, d_b, t_b, rng = integrator.boundary_event(
+            scene, settings, normal, o_bound, d, tput, rng, bmask
+        )
+        o = jnp.where(bmask[..., None], o_b, o)
+        d = jnp.where(bmask[..., None], d_b, d)
+        tput = jnp.where(bmask[..., None], t_b, tput)
+        bounce = jnp.where(bmask, bounce + 1, bounce)
+        capped = jnp.logical_and(
+            bmask, bounce >= settings.max_path_length
+        )
+        alive = jnp.logical_and(alive, jnp.logical_not(capped))
+        samples_done = jnp.where(capped, samples_done + 1, samples_done)
+        if settings.russian_roulette:
+            rr_mask = jnp.logical_and(bmask, jnp.logical_not(capped))
+            tput, alive, killed, rng = integrator.russian_roulette(
+                tput, alive, rng, rr_mask
+            )
+            samples_done = jnp.where(
+                killed, samples_done + 1, samples_done
+            )
+        exit_box = jnp.zeros_like(exit_box)
+
+        # --- window refresh for tracking lanes -------------------------
+        track = tracking
+        p_now = o + (t + epsw)[..., None] * d
+        coord = (
+            jnp.clip((p_now - med.box_min) / extent, 0.0, 1.0)
+            * res_minus_1
+        )
+        bi = jnp.clip(
+            jnp.floor(coord / float(tpk.TBRICK)).astype(jnp.int32),
+            0, brick_hi,
+        )
+        bflat = (bi[..., 2] * nby + bi[..., 1]) * nbx + bi[..., 0]
+        bsel = jnp.where(track, bflat, 0)
+        win = jnp.take(tab, bsel, axis=0)  # (R, SLABS, 128) — one row/lane
+        rho_b = jnp.take(major, bsel, axis=0)
+        inv_sig = jnp.where(
+            rho_b > 0.0,
+            1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
+            jnp.inf,
+        )
+        worg = bi * tpk.TBRICK  # (R, 3) x,y,z voxel coords
+        up = (d > 0.0).astype(jnp.float32)
+        bound_vox = (worg.astype(jnp.float32) + up * tpk.TBRICK)
+        bound_world = med.box_min + extent * bound_vox / res_minus_1
+        okd = jnp.abs(d) > 1e-12
+        t_axes = jnp.where(
+            okd, (bound_world - o) / jnp.where(okd, d, 1.0), jnp.inf
+        )
+        bexit = jnp.maximum(jnp.min(t_axes, axis=-1), t + epsw)
+
+        # --- kernel: pk_steps in-VMEM tracking steps -------------------
+        status_in = jnp.where(track, tpk.RUN, tpk.DEAD)
+        outs = tpk.run_tail_steps(
+            win, params,
+            bc_f(o[:, 0]), bc_f(o[:, 1]), bc_f(o[:, 2]),
+            bc_f(d[:, 0]), bc_f(d[:, 1]), bc_f(d[:, 2]),
+            bc_f(tput[:, 0]), bc_f(tput[:, 1]), bc_f(tput[:, 2]),
+            bc_f(t), bc_f(max_t), bc_f(bexit),
+            bc_f(inv_sig), bc_f(rho_b),
+            bc_f(normal[:, 0]), bc_f(normal[:, 1]), bc_f(normal[:, 2]),
+            bc_i(worg[:, 0]), bc_i(worg[:, 1]), bc_i(worg[:, 2]),
+            bc_i(bounce), bc_i(status_in),
+            bc_u(rng.state), bc_u(rng.inc),
+            n_steps=pk_steps, interpret=interpret,
+        )
+        (ox, oy, oz, dx_, dy_, dz_, tr, tg, tb, t_k, maxt_k, _bex,
+         _isig, _rho, nmx, nmy, nmz, bounce_k, status_k, rngs_k,
+         _rngi) = outs
+        col = lambda a: a[:, 0]  # noqa: E731 — broadcast rows are uniform
+        o = jnp.where(
+            track[..., None],
+            jnp.stack([col(ox), col(oy), col(oz)], axis=-1), o,
+        )
+        d = jnp.where(
+            track[..., None],
+            jnp.stack([col(dx_), col(dy_), col(dz_)], axis=-1), d,
+        )
+        tput = jnp.where(
+            track[..., None],
+            jnp.stack([col(tr), col(tg), col(tb)], axis=-1), tput,
+        )
+        normal = jnp.where(
+            track[..., None],
+            jnp.stack([col(nmx), col(nmy), col(nmz)], axis=-1), normal,
+        )
+        t = jnp.where(track, col(t_k), t)
+        max_t = jnp.where(track, col(maxt_k), max_t)
+        bounce = jnp.where(track, col(bounce_k), bounce)
+        rng = RngState(
+            state=jnp.where(track, col(rngs_k), rng.state), inc=rng.inc
+        )
+        status = col(status_k)
+        died = jnp.logical_and(track, status == tpk.DEAD)
+        alive = jnp.logical_and(alive, jnp.logical_not(died))
+        samples_done = jnp.where(died, samples_done + 1, samples_done)
+        exit_box = jnp.logical_and(track, status == tpk.EXIT_BOX)
+        tracking = jnp.logical_and(
+            track,
+            jnp.logical_or(status == tpk.RUN, status == tpk.NEED_WINDOW),
+        )
+
+        n_rows = n_rows + float(R)
+        n_busy = n_busy + jnp.sum(track.astype(jnp.float32))
+        return (o, d, tput, accum, normal, t, max_t, pix, slot,
+                samples_done, bounce, alive, tracking, exit_box, rng,
+                n_rays, n_rows, n_busy)
+
+    s = state
+    carry = (
+        s.o, s.d, s.throughput, s.accum, s.normal, s.t, s.max_t, s.pix,
+        s.slot, s.samples_done, s.bounce, s.alive,
+        # mid-flight lanes restart under the window majorant
+        # (memoryless — the piecewise-majorant argument)
+        s.tracking, jnp.zeros_like(s.alive), s.rng,
+        s.n_rays, s.n_rows, s.n_busy,
+    )
+    carry = jax.lax.while_loop(cond, body, carry)
+    (o, d, tput, accum, normal, t, max_t, pix, slot, samples_done,
+     bounce, alive, tracking, _exit_box, rng, n_rays, n_rows,
+     n_busy) = carry
+    out = state._replace(
+        o=o, d=d, throughput=tput, accum=accum, normal=normal, t=t,
+        max_t=max_t, pix=pix, slot=slot, samples_done=samples_done,
+        bounce=bounce, alive=alive, tracking=tracking, rng=rng,
+        n_rays=n_rays, n_rows=n_rows, n_busy=n_busy,
+    )
+    return out, img

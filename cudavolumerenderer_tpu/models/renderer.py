@@ -236,6 +236,12 @@ def make_kernel_fn(config: Config):
                 cascade_factor=config.cascade_factor,
                 tail_single_level=config.tail_single_level,
                 tail_spec=config.tail_spec,
+                spec_width=config.spec_width,
+                min_width=config.min_width,
+                tail_bricks=config.tail_bricks,
+                tail_pallas=config.tail_pallas,
+                tail_pk_width=config.tail_pk_width,
+                tail_pk_steps=config.tail_pk_steps,
             )
         return fsk
     if k == Kernel.BRICK_SK:
