@@ -274,7 +274,7 @@ def run_camera_path(config: Config, path_file: str) -> None:
                 renderer.init_rendering()
                 print(f"{PRINT_PREFIX}camera moved, accumulation reset")
             for _ in range(args[0]):
-                renderer.run_iterations(spp=1)
+                renderer.run_pass(1)
             frame += 1
             save_png(
                 f"{config.output_name}_path{frame:04d}.png",
@@ -322,14 +322,15 @@ def run_interactive(config: Config, orbit: int = 0) -> None:
     renderer = create_renderer(scene, camera, config)
     frame = 0
     while not renderer.image_complete():
-        renderer.run_iterations(spp=1)
-        if renderer.current_tile == 0:
-            frame += 1
-            save_png(
-                f"{config.output_name}_frame{frame:04d}.png",
-                tonemap(renderer.get_image()),
-            )
-            print(f"{PRINT_PREFIX}frame {frame} dumped")
+        # one full-image pass per frame; batchable kernels run all
+        # tiles in a single device dispatch (renderer.run_pass)
+        renderer.run_pass(1)
+        frame += 1
+        save_png(
+            f"{config.output_name}_frame{frame:04d}.png",
+            tonemap(renderer.get_image()),
+        )
+        print(f"{PRINT_PREFIX}frame {frame} dumped")
     save_hdr(config.output_name + ".hdr", renderer.get_image())
 
 

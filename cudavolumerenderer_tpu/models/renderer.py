@@ -135,6 +135,30 @@ class ProgressiveTiledRenderer:
         self.iterations_done[idx] += spp
         self.current_tile = (idx + 1) % len(self.tiles)
 
+    def run_pass(self, spp: int = 1) -> None:
+        """One progressive pass over ALL tiles.
+
+        Where the kernel is batchable this is a single device dispatch
+        (lax.map over tile origins) accumulating on-device — the
+        progressive analog of the batched `render()` path, so tiled
+        interactive/progressive runs no longer pay one host round-trip
+        per tile per pass (thesis Table 4.2's per-launch overhead).
+        Bit-identical to looping `run_iterations(spp)` over every tile:
+        same per-tile kernel calls, same path-id assignment."""
+        spp = min(spp, self.config.iterations
+                  - int(self.iterations_done.min()))
+        if spp <= 0:
+            return
+        if (
+            len(self.tiles) > 1
+            and self.config.kernel in _BATCHABLE
+            and self._batch_lanes_ok(spp)
+        ):
+            self._render_all_tiles_batched(spp)
+        else:
+            for _ in range(len(self.tiles)):
+                self.run_iterations(spp=spp)
+
     def get_image(self) -> np.ndarray:
         """Accumulated radiance scaled by 1/iterations-done
         (reference: getImage + UtilityFunctors::Scale)."""
@@ -154,17 +178,12 @@ class ProgressiveTiledRenderer:
         Table 4.2: 98 s at 64x64 tiles); here the per-tile host
         round-trip disappears entirely."""
         self.init_rendering()
-        tw, th = self.tile_dim
-        lanes_ok = (
-            self.config.kernel != Kernel.NAIVE_SK
-            or tw * th * self.config.iterations <= (1 << 22)
-        )
         if (
             len(self.tiles) > 1
             and self.config.kernel in _BATCHABLE
-            and lanes_ok
+            and self._batch_lanes_ok(self.config.iterations)
         ):
-            self._render_all_tiles_batched()
+            self._render_all_tiles_batched(self.config.iterations)
             return self.get_image()
         total = len(self.tiles) * self.config.iterations
         while not self.image_complete():
@@ -175,14 +194,20 @@ class ProgressiveTiledRenderer:
                 )
         return self.get_image()
 
-    def _render_all_tiles_batched(self) -> None:
+    def _batch_lanes_ok(self, spp: int) -> bool:
+        tw, th = self.tile_dim
+        return (
+            self.config.kernel != Kernel.NAIVE_SK
+            or tw * th * spp <= (1 << 22)
+        )
+
+    def _render_all_tiles_batched(self, spp: int) -> None:
         """One dispatch for every tile: lax.map over (origin, id-base),
         on-device image assembly.  Bit-identical to the sequential tile
         loop (same per-tile kernel calls, same path ids)."""
         import jax
 
         cfg = self.config
-        spp = cfg.iterations
         tw, th = self.tile_dim
         w, hres = cfg.resolution
         ntx, nty = cfg.n_tiles
@@ -212,7 +237,7 @@ class ProgressiveTiledRenderer:
         self._accum_dev = self._accum_dev + padded[:hres, :w]
         self._n_rays_dev = self._n_rays_dev + jnp.sum(nrs)
         self.path_id_base += len(self.tiles) * tw * th * spp
-        self.iterations_done[:] = spp
+        self.iterations_done += spp
 
     def _spp_per_launch(self) -> int:
         if self.config.kernel in (Kernel.NAIVE_SK, Kernel.NAIVE_MK):

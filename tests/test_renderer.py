@@ -67,3 +67,35 @@ def test_ragged_tiles_cover_image():
     # RR off + constant environment: every path escapes with positive
     # throughput, so no pixel can stay black
     assert (img > 0).all()
+
+
+def test_progressive_pass_batched_equals_sequential():
+    """run_pass(spp) (one dispatch over all tiles) must match looping
+    run_iterations(spp) over every tile bit-for-bit, across multiple
+    progressive passes (the interactive/tiled flow)."""
+    scene = _scene()
+    res = 16
+    camera = make_camera(res, res)
+    cfg = dict(
+        kernel=Kernel.FAST_SK, iterations=4, resolution=(res, res),
+        n_tiles=(2, 2), n_lanes=256,
+        settings=RenderSettings.from_flags(True),
+    )
+    r_seq = create_renderer(scene, camera, Config(**cfg))
+    r_seq.init_rendering()
+    r_bat = create_renderer(scene, camera, Config(**cfg))
+    r_bat.init_rendering()
+    for _ in range(2):  # two progressive passes of 2 spp each
+        for _ in range(len(r_seq.tiles)):
+            r_seq.run_iterations(spp=2)
+        r_bat.run_pass(2)
+        np.testing.assert_array_equal(
+            np.asarray(r_bat.accum), np.asarray(r_seq.accum)
+        )
+        assert r_bat.path_id_base == r_seq.path_id_base
+    assert r_bat.image_complete() and r_seq.image_complete()
+    # a further pass is a no-op once complete
+    r_bat.run_pass(1)
+    np.testing.assert_array_equal(
+        np.asarray(r_bat.accum), np.asarray(r_seq.accum)
+    )
