@@ -436,6 +436,78 @@ def run_inverse_views(
     return density, losses, opt_state
 
 
+def observability_depth(
+    density: np.ndarray, scale: float, aabb_extent: float = 1.0
+) -> np.ndarray:
+    """Per-voxel minimal optical depth to the volume boundary.
+
+    The identifiability criterion for the inverse problem (PERF.md,
+    round-2 analysis): a voxel whose *cheapest* escape path already has
+    optical depth tau >> 1 is pitch black in every view — no pixel's
+    radiance depends measurably on it, so the fit cannot recover it
+    (its gradient is exponentially suppressed by exp(-tau)).  We bound
+    tau from below by the best of the six axis-aligned exit paths
+    (straight rays; scattering detours only add length, so this is an
+    optimistic/lower bound — voxels flagged unobservable here are truly
+    unobservable).
+
+    Returns an array shaped like ``density`` of min-over-6-directions
+    exclusive cumulative optical depth, in units of extinction
+    (sigma_t = density * scale, voxel size = aabb_extent / n per axis).
+    """
+    d = np.asarray(density, np.float64)
+    out = np.full(d.shape, np.inf)
+    for axis in range(3):
+        dx = aabb_extent / d.shape[axis]
+        sig = d * scale * dx
+        # exclusive cumsum from each face: depth BEFORE entering voxel
+        cum = np.cumsum(sig, axis=axis) - sig
+        out = np.minimum(out, cum)
+        rcum = (
+            np.flip(np.cumsum(np.flip(sig, axis=axis), axis=axis),
+                    axis=axis) - sig
+        )
+        out = np.minimum(out, rcum)
+    return out
+
+
+def split_mse_by_observability(
+    recovered: np.ndarray,
+    truth: np.ndarray,
+    init_value: float,
+    scale: float,
+    tau_c: float = 5.0,
+):
+    """Grid-MSE ratio (final/init) separately over the observable shell
+    (min escape optical depth < tau_c) and the unobservable interior.
+
+    Evidence form of the identifiability argument (VERDICT r2 item 6):
+    at a too-large extinction scale the *shell* still converges while
+    the interior stays at the prior — the divergence of the round-1
+    scale-100 run was an observability problem, not an optimizer one."""
+    tau = observability_depth(truth, scale)
+    shell = tau < tau_c
+    rec = np.asarray(recovered, np.float64)
+    tr = np.asarray(truth, np.float64)
+    res = {}
+    for name, mask in (("shell", shell), ("interior", ~shell)):
+        n = int(mask.sum())
+        if n == 0:
+            res[name] = {"n_voxels": 0}
+            continue
+        mse0 = float(((init_value - tr[mask]) ** 2).mean())
+        mse1 = float(((rec[mask] - tr[mask]) ** 2).mean())
+        res[name] = {
+            "n_voxels": n,
+            "mse_init": round(mse0, 6),
+            "mse_final": round(mse1, 6),
+            "mse_ratio": round(mse1 / max(mse0, 1e-12), 4),
+        }
+    res["tau_c"] = tau_c
+    res["shell_frac"] = round(float(shell.mean()), 4)
+    return res
+
+
 def upsample_density(density: jnp.ndarray, shape_zyx) -> jnp.ndarray:
     """Trilinear upsampling between pyramid levels."""
     import jax  # noqa: PLC0415

@@ -248,3 +248,66 @@ class TestInverse:
         assert up.shape == (8, 8, 8)
         # trilinear resize preserves the mean approximately
         assert abs(float(up.mean()) - float(d.mean())) < 0.05
+
+
+class TestObservability:
+    """Identifiability criterion: per-voxel min escape optical depth
+    (inverse.observability_depth) and the shell/interior MSE split."""
+
+    def test_constant_density_analytic(self):
+        # constant density d in a unit box, n voxels: min escape depth
+        # of voxel i along x is d*scale*min(i, n-1-i)/n (exclusive sum)
+        import numpy as np
+
+        from cudavolumerenderer_tpu.models import inverse
+
+        n, d, scale = 8, 0.5, 10.0
+        tau = inverse.observability_depth(
+            np.full((n, n, n), d, np.float32), scale
+        )
+        step = d * scale / n
+        # face voxels see zero depth; center sees (n/2 - 1 + ... ) steps
+        assert tau[0, 0, 0] == 0.0
+        expect_center = step * (n // 2 - 1)
+        np.testing.assert_allclose(
+            tau[n // 2, n // 2, n // 2], expect_center, rtol=1e-6
+        )
+        # symmetry under flips
+        np.testing.assert_allclose(tau, np.flip(tau, 0), rtol=1e-6)
+
+    def test_dense_core_is_unobservable(self):
+        # a dense ball: its center must exceed tau_c at large scale,
+        # and the split must mark a nonempty shell AND interior
+        import numpy as np
+
+        from cudavolumerenderer_tpu.models import inverse
+        from cudavolumerenderer_tpu.scene import procedural
+
+        gt = procedural.medical_volume((32, 32, 32), n_blobs=40)
+        tau = inverse.observability_depth(gt, 100.0)
+        assert tau[16, 16, 16] > 5.0
+        split = inverse.split_mse_by_observability(
+            np.full_like(gt, 0.25), gt, 0.25, 100.0, tau_c=5.0
+        )
+        assert split["shell"]["n_voxels"] > 0
+        assert split["interior"]["n_voxels"] > 0
+        # recovered == init: both ratios are exactly 1
+        assert split["shell"]["mse_ratio"] == 1.0
+        assert split["interior"]["mse_ratio"] == 1.0
+
+    def test_split_detects_shell_only_recovery(self):
+        # a "recovery" equal to truth on the shell but prior-valued in
+        # the interior: shell ratio ~0, interior ratio ~1
+        import numpy as np
+
+        from cudavolumerenderer_tpu.models import inverse
+        from cudavolumerenderer_tpu.scene import procedural
+
+        gt = procedural.medical_volume((32, 32, 32), n_blobs=40)
+        tau = inverse.observability_depth(gt, 100.0)
+        rec = np.where(tau < 5.0, gt, 0.25)
+        split = inverse.split_mse_by_observability(
+            rec, gt, 0.25, 100.0, tau_c=5.0
+        )
+        assert split["shell"]["mse_ratio"] == 0.0
+        assert split["interior"]["mse_ratio"] == 1.0
