@@ -80,11 +80,12 @@ def main() -> int:
         scene = bucky()
         res, iters = 1920, 5
         camera = make_camera(res, res)
-        # (64,64) = 4096 host dispatches is tunnel-RTT-bound in this
-        # environment (the reference's own 64x64 row is similarly
-        # dispatch-degenerate: 98-224 s); stop at 32x32.
+        # All tile counts run through the batched all-tiles dispatch
+        # (renderer.render -> lax.map over tile origins), so even the
+        # 64x64 = 4096-tile row is ONE device program — the reference
+        # pays a kernel launch per tile and degrades to 98-224 s there.
         results = {}
-        for nt in (1, 2, 4, 8, 32):
+        for nt in (1, 2, 4, 8, 32, 64):
             config = Config(
                 kernel=Kernel.FAST_SK,
                 iterations=iters,
