@@ -24,6 +24,14 @@ def main() -> int:
     parser.add_argument("--spp", type=int, default=4)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--out", default="benchmarks/results_medical2.json")
+    parser.add_argument(
+        "--only", nargs="*", default=None,
+        help="run only sweep configs whose name contains any of these "
+        "substrings (lets tunnel-risky Pallas compiles run in their own "
+        "timeout-guarded process)")
+    parser.add_argument(
+        "--no-stats", action="store_true",
+        help="skip the with_stats diagnostic render")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -45,28 +53,29 @@ def main() -> int:
     settings = RenderSettings.from_flags(True)
 
     # busy-fraction + per-stage diagnostic (one run with stats)
-    out = fast.render_tile(
+    out = None if args.no_stats else fast.render_tile(
         scene, camera, settings, (res, res), jnp.zeros(2, jnp.float32),
         (res, res), args.spp, 1, 0, two_level=True, with_stats=True,
         cascade_factor=2,
     )
-    n_rays, n_rows, n_busy = (
-        float(out[1]), float(out[2]), float(out[3])
-    )
-    stage_rows = np.asarray(out[4])
-    widths = fast._cascade_widths(res * res, 2)
-    print(
-        f"stats(casc=2): rays={n_rays:.0f} rows={n_rows:.0f} "
-        f"busy_frac={n_busy / max(n_rows, 1):.3f} "
-        f"width_equiv_iters={n_rows / (res * res):.0f}",
-        flush=True,
-    )
-    for w, r in zip(widths, stage_rows):
+    if out is not None:
+        n_rays, n_rows, n_busy = (
+            float(out[1]), float(out[2]), float(out[3])
+        )
+        stage_rows = np.asarray(out[4])
+        widths = fast._cascade_widths(res * res, 2)
         print(
-            f"  stage width={w:7d}: rows={r:12.0f} "
-            f"iters={r / w:7.0f} width_equiv={r / (res * res):6.1f}",
+            f"stats(casc=2): rays={n_rays:.0f} rows={n_rows:.0f} "
+            f"busy_frac={n_busy / max(n_rows, 1):.3f} "
+            f"width_equiv_iters={n_rows / (res * res):.0f}",
             flush=True,
         )
+        for w, r in zip(widths, stage_rows):
+            print(
+                f"  stage width={w:7d}: rows={r:12.0f} "
+                f"iters={r / w:7.0f} width_equiv={r / (res * res):6.1f}",
+                flush=True,
+            )
 
     results = {}
     # spec/single-level confined to the 4096-wide tail pool (spec_width):
@@ -111,6 +120,12 @@ def main() -> int:
          dict(**base, max_bricks=4096, tail_pallas=True,
               tail_pk_width=128, tail_pk_steps=32)),
     ]
+    if args.only:
+        sweep = [
+            (k, kw) for k, kw in sweep
+            if any(sub in k for sub in args.only)
+        ]
+        print(f"--only: {[k for k, _ in sweep]}", flush=True)
     for key, kw in sweep:
         times, rays = [], 0.0
         for rep in range(args.reps + 1):
