@@ -119,6 +119,17 @@ def main() -> int:
         ("b16+tailpk128s32",
          dict(**base, max_bricks=4096, tail_pallas=True,
               tail_pk_width=128, tail_pk_steps=32)),
+        # (d) hand off to the kernel EARLIER: the 4096-lane XLA pool
+        # drains at the latency floor until pending fits pk_width, so a
+        # wider kernel pool (VMEM-bound at ~512 rows = 10 MB of windows)
+        # or a narrower last XLA pool (min_width) shifts more of the
+        # drain curve into VMEM
+        ("b16+tailpk512",
+         dict(**base, max_bricks=4096, tail_pallas=True,
+              tail_pk_width=512, tail_pk_steps=16)),
+        ("b16+minw512+tailpk256",
+         dict(**base, max_bricks=4096, min_width=512,
+              tail_pallas=True, tail_pk_width=256, tail_pk_steps=16)),
     ]
     if args.only:
         sweep = [
