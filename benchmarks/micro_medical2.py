@@ -130,6 +130,13 @@ def main() -> int:
         ("b16+minw512+tailpk256",
          dict(**base, max_bricks=4096, min_width=512,
               tail_pallas=True, tail_pk_width=256, tail_pk_steps=16)),
+        # (e) round-3 part 2: minw512 won decisively (9.20 vs 8.13) and
+        # spec/tailpk variants all lost — the chained XLA tail pools
+        # amortize the latency floor better than speculation or the
+        # Pallas service loop.  How deep does the cascade pay?
+        ("b16+minw256", dict(**base, max_bricks=4096, min_width=256)),
+        ("b16+minw128", dict(**base, max_bricks=4096, min_width=128)),
+        ("b16+minw64", dict(**base, max_bricks=4096, min_width=64)),
     ]
     if args.only:
         sweep = [
