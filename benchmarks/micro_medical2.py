@@ -137,6 +137,12 @@ def main() -> int:
         ("b16+minw256", dict(**base, max_bricks=4096, min_width=256)),
         ("b16+minw128", dict(**base, max_bricks=4096, min_width=128)),
         ("b16+minw64", dict(**base, max_bricks=4096, min_width=64)),
+        # (f) the minw128 anatomy shows 83% of rows in the 61 full-width
+        # iterations (busy 0.518): attack candidate-step count with a
+        # tighter majorant grid (32^3 bricks of 8^3 voxels; probe table
+        # (32768, 2) stays on the fast small-gather path)
+        ("b32+minw128", dict(**base, max_bricks=32768, min_width=128)),
+        ("b8+minw128", dict(**base, max_bricks=512, min_width=128)),
     ]
     if args.only:
         sweep = [

@@ -119,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
         "single-level tail modes engage",
     )
     p.add_argument(
-        "--min-width", type=int, default=4096,
+        "--min-width", type=int, default=None,
         help="fastSK: cascade bottom pool width",
     )
     p.add_argument(

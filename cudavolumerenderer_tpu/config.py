@@ -148,8 +148,11 @@ class Config:
     #: an (N, K) speculative gather only rides the latency floor when
     #: N*K stays small
     spec_width: int = None
-    #: cascade bottom pool width (smaller = deeper cascade)
-    min_width: int = 4096
+    #: cascade bottom pool width (smaller = deeper cascade); None =
+    #: platform default — 128 on TPU (won the round-3 sweep on every
+    #: scene class, PERF.md), 4096 on CPU (deep cascades run serial
+    #: narrow iterations at interpreter speed there)
+    min_width: Optional[int] = None
     #: finer tail-pool brick granularity (0 = same table as full width)
     tail_bricks: int = 0
     #: fastSK persistent Pallas tail kernel (ops/pallas/tailpk.py):

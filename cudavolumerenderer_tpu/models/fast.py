@@ -60,10 +60,29 @@ BRICK = (4, 4, 8)
 # (benchmarks/micro_gather.py on v5e).
 _MAX_BRICKS = 65536
 
-# Cascade geometry: pool widths shrink by _CASCADE_FACTOR down to
-# _MIN_WIDTH; a stage exits when its pending lanes fit in the next pool.
+# Cascade geometry: pool widths shrink by _CASCADE_FACTOR down to the
+# minimum pool width; a stage exits when its pending lanes fit in the
+# next pool.  The default minimum is PLATFORM-ADAPTIVE (resolved by
+# _default_min_width): 128 on accelerators, 4096 on CPU.
+# Rationale (round-3 sweep, benchmarks/results_medical2_r3b.json): on
+# TPU the chained narrow pools amortize the per-iteration dispatch
+# latency floor better than stopping at 4096 — medical 8.13 -> 9.42,
+# smoke 13.4 -> 15.0, bucky 21.3 -> 21.7 Mrays/s; the 256-wide pool's
+# 1056 iterations cost ~1 width-equivalent of rows.  On CPU the same
+# deep cascade is pathological (thousands of serial narrow iterations
+# run at interpreter-like speed: a 4 s bucky render became >300 s), so
+# CPU keeps the shallow cascade.  (Speculative taps, single-level
+# tails, finer tail bricks, and the Pallas tail kernel all measured
+# SLOWER on TPU — see PERF.md round-3 notes.)
 _CASCADE_FACTOR = 4
 _MIN_WIDTH = 4096
+_MIN_WIDTH_TPU = 128
+
+
+def _default_min_width() -> int:
+    import jax  # noqa: PLC0415
+
+    return _MIN_WIDTH if jax.default_backend() == "cpu" else _MIN_WIDTH_TPU
 
 # Distance-transform iterations: empty-space leaps up to this many
 # bricks are collapsed into one wavefront iteration.
@@ -389,7 +408,7 @@ def render_tile(
     tail_spec: int = _TAIL_SPEC,
     tail_width: int = _TAIL_CHAIN_WIDTH,
     spec_width: int = None,
-    min_width: int = _MIN_WIDTH,
+    min_width: int = None,  # None -> platform default (_default_min_width)
     tail_single_level: bool = False,
     tail_bricks: int = 0,
     tail_pallas: bool = False,
@@ -1053,6 +1072,8 @@ def render_tile(
         return jnp.sum(pending.astype(jnp.int32))
 
     # --- cascade: shrink the pool as the tail empties ---------------------
+    if min_width is None:
+        min_width = _default_min_width()
     widths = _cascade_widths(n_lanes, cascade_factor, min_width)
     # tailPK (ops/pallas/tailpk.py): the persistent Pallas tail kernel
     # takes over once the pending count fits its row budget.  Requires a
