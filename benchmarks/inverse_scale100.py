@@ -12,7 +12,9 @@ coarse-to-fine pyramid, TV prior) at scale=100 and then splits the
 grid-MSE by the identifiability criterion
 
     tau_min(v) = min over 6 axis exit paths of the optical depth
-                 from voxel v to the boundary       (a lower bound)
+                 from voxel v to the boundary
+                 (an axis-path heuristic: an UPPER bound on the true
+                 minimal escape depth — see observability_depth)
 
 into the observable shell (tau_min < tau_c) and the unobservable
 interior (tau_min >= tau_c).  Expected result, and the committed

@@ -25,6 +25,9 @@ from .scene.loader import load_scene
 from .utils.image import save_hdr, save_png, tonemap
 
 PRINT_PREFIX = "[cvr-tpu] "
+# Interactive-mode per-frame refinement budget in seconds (reference:
+# InteractiveRenderer.h:335-343 refines until >=0.1 s has elapsed).
+FRAME_BUDGET_S = 0.1
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -322,9 +325,19 @@ def run_interactive(config: Config, orbit: int = 0) -> None:
     renderer = create_renderer(scene, camera, config)
     frame = 0
     while not renderer.image_complete():
-        # one full-image pass per frame; batchable kernels run all
-        # tiles in a single device dispatch (renderer.run_pass)
-        renderer.run_pass(1)
+        # Time-budgeted refinement, matching the reference's frame loop
+        # (InteractiveRenderer.h:335-343: repeat runIterations+getImage
+        # until >=0.1 s has elapsed, then present).  Each inner pass is
+        # one full-image spp; batchable kernels run all tiles in a
+        # single device dispatch (renderer.run_pass).
+        t0 = time.time()
+        while True:
+            renderer.run_pass(1)
+            if (
+                time.time() - t0 >= FRAME_BUDGET_S
+                or renderer.image_complete()
+            ):
+                break
         frame += 1
         save_png(
             f"{config.output_name}_frame{frame:04d}.png",

@@ -82,7 +82,10 @@ _MIN_WIDTH_TPU = 128
 def _default_min_width() -> int:
     import jax  # noqa: PLC0415
 
-    return _MIN_WIDTH if jax.default_backend() == "cpu" else _MIN_WIDTH_TPU
+    # 128 was validated on TPU v5e only (round-3 sweep); every other
+    # backend (CPU's serial narrow iterations are PATHOLOGICAL with
+    # deep cascades, and GPU is unmeasured) gets the conservative 4096.
+    return _MIN_WIDTH_TPU if jax.default_backend() == "tpu" else _MIN_WIDTH
 
 # Distance-transform iterations: empty-space leaps up to this many
 # bricks are collapsed into one wavefront iteration.

@@ -445,11 +445,16 @@ def observability_depth(
     round-2 analysis): a voxel whose *cheapest* escape path already has
     optical depth tau >> 1 is pitch black in every view — no pixel's
     radiance depends measurably on it, so the fit cannot recover it
-    (its gradient is exponentially suppressed by exp(-tau)).  We bound
-    tau from below by the best of the six axis-aligned exit paths
-    (straight rays; scattering detours only add length, so this is an
-    optimistic/lower bound — voxels flagged unobservable here are truly
-    unobservable).
+    (its gradient is exponentially suppressed by exp(-tau)).  We
+    estimate tau by the best of the six axis-aligned exit paths.  Note
+    this is an UPPER bound on the true minimal escape depth, not a
+    lower bound: the true minimum is over all straight-line directions
+    and a low-density channel along a non-axis direction can undercut
+    every axis path.  Voxels flagged unobservable by this heuristic are
+    therefore *likely* (not provably) unobservable; voxels flagged
+    observable are certainly observable.  Good enough for the
+    shell/interior MSE split it feeds (an analysis diagnostic — the
+    renderer never uses it).
 
     Returns an array shaped like ``density`` of min-over-6-directions
     exclusive cumulative optical depth, in units of extinction

@@ -150,13 +150,23 @@ class ProgressiveTiledRenderer:
         interactive/progressive runs no longer pay one host round-trip
         per tile per pass (thesis Table 4.2's per-launch overhead).
         Bit-identical to looping `run_iterations(spp)` over every tile:
-        same per-tile kernel calls, same path-id assignment."""
+        same per-tile kernel calls, same path-id assignment.  A pass
+        always starts at tile 0 (matching the batched dispatch's
+        row-major path-id order); with uneven per-tile progress (public
+        run_iterations calls mixed in) the batched path is skipped —
+        it would add spp to every tile including completed ones — and
+        the sequential loop clamps per tile instead."""
+        self.current_tile = 0
         spp = min(spp, self.config.iterations
                   - int(self.iterations_done.min()))
         if spp <= 0:
             return
+        uniform = int(self.iterations_done.min()) == int(
+            self.iterations_done.max()
+        )
         if (
-            len(self.tiles) > 1
+            uniform
+            and len(self.tiles) > 1
             and self.config.kernel in _BATCHABLE
             and self._batch_lanes_ok(spp)
         ):

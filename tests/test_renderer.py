@@ -99,3 +99,30 @@ def test_progressive_pass_batched_equals_sequential():
     np.testing.assert_array_equal(
         np.asarray(r_bat.accum), np.asarray(r_seq.accum)
     )
+
+
+def test_run_pass_uneven_progress_respects_iteration_cap():
+    """Mixing public run_iterations with run_pass must never render a
+    tile past config.iterations (round-3 ADVICE: the batched pass added
+    spp to EVERY tile, re-brightening completed ones)."""
+    scene = _scene()
+    res = 16
+    camera = make_camera(res, res)
+    cfg = dict(
+        kernel=Kernel.FAST_SK, iterations=2, resolution=(res, res),
+        n_tiles=(2, 2), n_lanes=256,
+        settings=RenderSettings.from_flags(True),
+    )
+    r = create_renderer(scene, camera, Config(**cfg))
+    r.init_rendering()
+    # tile 0 renders all its iterations up front -> uneven progress
+    r.run_iterations(spp=2)
+    assert list(r.iterations_done) == [2, 0, 0, 0]
+    r.run_pass(2)
+    assert list(r.iterations_done) == [2, 2, 2, 2]
+    assert r.image_complete()
+    # reference: a renderer driven purely by run_pass
+    r2 = create_renderer(scene, camera, Config(**cfg))
+    r2.init_rendering()
+    r2.run_pass(2)
+    np.testing.assert_array_equal(np.asarray(r.accum), np.asarray(r2.accum))
