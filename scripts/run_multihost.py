@@ -36,10 +36,27 @@ def main() -> int:
     parser.add_argument("--inverse", default=None,
                         help="target .hdr: run inverse recovery instead")
     parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu; the "
+                        "JAX_PLATFORMS env var is ignored by the axon "
+                        "build — must be set via jax.config)")
+    parser.add_argument("--host-devices", type=int, default=None,
+                        help="virtual CPU devices per process "
+                        "(xla_force_host_platform_device_count; for "
+                        "multi-process smoke tests without a pod)")
     args = parser.parse_args()
 
+    if args.host_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.coordinator is not None:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
