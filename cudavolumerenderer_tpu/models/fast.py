@@ -382,7 +382,7 @@ def _cascade_widths(
     jax.jit,
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
-        "two_level", "with_stats", "max_bricks", "defer_ggx",
+        "two_level", "with_stats", "max_bricks", "brick_size", "defer_ggx",
         "brick_major", "cascade_factor",
         "tail_chain", "tail_spec", "tail_width", "spec_width",
         "min_width", "tail_single_level", "tail_bricks",
@@ -404,6 +404,7 @@ def render_tile(
     two_level: bool = False,
     with_stats: bool = False,
     max_bricks: int = _MAX_BRICKS,
+    brick_size: Tuple[int, int, int] = None,
     defer_ggx: int = 0,
     brick_major: bool = False,
     cascade_factor: int = _CASCADE_FACTOR,
@@ -516,8 +517,11 @@ def render_tile(
         )
 
     if two_level:
+        # brick_size overrides pick_brick (sweep lever: bricks finer
+        # than pick_brick's candidate list, e.g. 2^3 for the smoke
+        # class where scale 800 makes majorant tightness dominate)
         coarse_bt = build_brick_tables(
-            *pick_brick((nz, ny, nx), max_bricks)
+            *(brick_size or pick_brick((nz, ny, nx), max_bricks))
         )
         # tail pools are latency-bound (per-iteration cost is fixed, so
         # iterations are what matter): tighter majorants cut null
