@@ -56,12 +56,25 @@ def main() -> int:
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--bwd", action="store_true")
     parser.add_argument(
+        "--bwd-res", type=int, default=None,
+        help="pixel width for the fwd+bwd measurement (default res//4; "
+        "the round-2 256^2 note undersold the backward — at 65k lanes "
+        "the replay runs at the narrow-pool latency floor)")
+    parser.add_argument("--bwd-spp", type=int, default=1)
+    parser.add_argument("--no-fwd", action="store_true",
+                        help="skip the forward block (bwd-only runs)")
+    parser.add_argument(
         "--brick-major", action="store_true",
         help="8^3 brick-major flat-table layout (texture-locality analog)",
     )
     parser.add_argument("--defer-ggx", type=int, default=0)
+    parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from cudavolumerenderer_tpu.models import fast
@@ -92,31 +105,35 @@ def main() -> int:
         two_level=True, with_stats=True,
         brick_major=args.brick_major, defer_ggx=args.defer_ggx,
     )
-    out = fast.render_tile(seed=1, path_id_base=0, **kw)
-    _ = float(out[0].sum())  # sync (block_until_ready lies via tunnel)
-    n_rays, n_rows, n_busy = float(out[1]), float(out[2]), float(out[3])
-    stage_rows = [float(x) for x in out[4]]
-    widths = fast._cascade_widths(res * res)  # render used defaults
-    print(
-        f"stats: rays={n_rays:.0f} rows={n_rows:.0f} "
-        f"busy={n_busy / max(n_rows, 1):.3f} "
-        f"width_equiv={n_rows / (res * res):.0f}",
-        flush=True,
-    )
-    for w, r in zip(widths, stage_rows):
-        print(f"  stage w={w:8d}: iters={r / w:7.0f} "
-              f"width_equiv={r / (res * res):6.1f}", flush=True)
-    best = None
-    for s in (7, 8):
-        t0 = time.perf_counter()
-        out = fast.render_tile(seed=s, path_id_base=0, **kw)
-        _ = float(out[0].sum())
-        dt = time.perf_counter() - t0
-        mrays = float(out[1]) / dt / 1e6
-        print(f"fwd seed={s}: {dt:.3f}s  {mrays:.2f} Mrays/s", flush=True)
-        best = max(best or 0.0, mrays)
-    print(f"BEST fwd: {best:.2f} Mrays/s ({args.n}^3, {res}^2, "
-          f"{args.iters} it)", flush=True)
+    if not args.no_fwd:
+        out = fast.render_tile(seed=1, path_id_base=0, **kw)
+        _ = float(out[0].sum())  # sync (block_until_ready lies via tunnel)
+        n_rays, n_rows, n_busy = (
+            float(out[1]), float(out[2]), float(out[3])
+        )
+        stage_rows = [float(x) for x in out[4]]
+        widths = fast._cascade_widths(res * res)  # render used defaults
+        print(
+            f"stats: rays={n_rays:.0f} rows={n_rows:.0f} "
+            f"busy={n_busy / max(n_rows, 1):.3f} "
+            f"width_equiv={n_rows / (res * res):.0f}",
+            flush=True,
+        )
+        for w, r in zip(widths, stage_rows):
+            print(f"  stage w={w:8d}: iters={r / w:7.0f} "
+                  f"width_equiv={r / (res * res):6.1f}", flush=True)
+        best = None
+        for s in (7, 8):
+            t0 = time.perf_counter()
+            out = fast.render_tile(seed=s, path_id_base=0, **kw)
+            _ = float(out[0].sum())
+            dt = time.perf_counter() - t0
+            mrays = float(out[1]) / dt / 1e6
+            print(f"fwd seed={s}: {dt:.3f}s  {mrays:.2f} Mrays/s",
+                  flush=True)
+            best = max(best or 0.0, mrays)
+        print(f"BEST fwd: {best:.2f} Mrays/s ({args.n}^3, {res}^2, "
+              f"{args.iters} it)", flush=True)
 
     if args.bwd:
         # fwd+bwd: gradient of a scalar loss w.r.t. the 1024^3 density
@@ -130,13 +147,45 @@ def main() -> int:
             render_diff,
         )
 
-        bres, bspp = args.res // 4, 1
+        bres = args.bwd_res or args.res // 4
+        bspp = args.bwd_spp
         spec = SceneSpec(scale=100.0, max_density=dmax)
         cam = CameraSpec(res_x=bres, res_y=bres, fov_x_deg=0.7)
         dsettings = RenderSettings.from_flags(
             True, russian_roulette=True, max_path_length=100
         )
         albedo_grid = jnp.full((1, 1, 1, 4), 0.9, jnp.float32)
+
+        # Ray count for the fwd+bwd workload: the replay re-traces the
+        # same two-level estimator family, so the forward fast path's
+        # bounce counter at the same (res, spp, settings) is the number
+        # of physical ray segments in the estimate (each is then
+        # traversed 3x: primal + pass A + pass B).
+        cimg, cnr = fast.render_tile(
+            scene, camera, dsettings, (bres, bres),
+            jnp.zeros(2, jnp.float32), (bres, bres), bspp, 4, 0,
+            two_level=True,
+        )
+        _ = float(cimg.sum())
+        n_rays_bwd = float(cnr)
+        n_paths = bres * bres * bspp
+        print(f"bwd workload: {bres}^2 x {bspp} spp = {n_paths} paths, "
+              f"~{n_rays_bwd:.0f} rays/estimate "
+              f"({n_rays_bwd / n_paths:.1f} bounces/path)", flush=True)
+
+        # anatomy: one replay's worth (the primal) alone
+        prim = jax.jit(
+            lambda dg, s: render_diff(
+                dg, albedo_grid, s, spec, cam, dsettings,
+                (bres, bres), bspp, True,
+            )
+        )
+        _ = float(prim(density, 2).sum())
+        t0 = time.perf_counter()
+        _ = float(prim(density, 3).sum())
+        t_prim = time.perf_counter() - t0
+        print(f"primal replay alone: {t_prim:.3f}s "
+              f"({n_rays_bwd / t_prim / 1e6:.2f} Mrays/s)", flush=True)
 
         def loss(dgrid, seed):
             img = render_diff(
@@ -159,11 +208,18 @@ def main() -> int:
             gs = float(g.sum())
             dt = time.perf_counter() - t0
             del g
-            n_paths = bres * bres * bspp
             print(
                 f"fwd+bwd seed={s}: {dt:.3f}s  "
-                f"{n_paths/dt/1e6:.3f} Mpaths/s  loss={float(val):.4f} "
-                f"gsum={gs:.3e}",
+                f"{n_paths/dt/1e6:.3f} Mpaths/s  "
+                f"{n_rays_bwd/dt/1e6:.2f} Mrays/s (effective)  "
+                f"{3*n_rays_bwd/dt/1e6:.2f} Mrays/s (traced)  "
+                f"loss={float(val):.4f} gsum={gs:.3e}",
+                flush=True,
+            )
+            print(
+                f"  anatomy: primal {t_prim:.3f}s x3 passes "
+                f"~{3*t_prim:.3f}s vs total {dt:.3f}s -> "
+                f"adjoint-scatter overhead ~{dt - 3*t_prim:.3f}s",
                 flush=True,
             )
     return 0
