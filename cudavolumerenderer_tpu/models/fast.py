@@ -382,7 +382,8 @@ def _cascade_widths(
     jax.jit,
     static_argnames=(
         "settings", "tile_dim", "full_resolution", "spp", "lanes_per_pixel",
-        "two_level", "with_stats", "max_bricks", "brick_size", "defer_ggx",
+        "two_level", "with_stats", "max_bricks", "brick_size",
+        "table_bits", "defer_ggx",
         "brick_major", "cascade_factor",
         "tail_chain", "tail_spec", "tail_width", "spec_width",
         "min_width", "tail_single_level", "tail_bricks",
@@ -405,6 +406,7 @@ def render_tile(
     with_stats: bool = False,
     max_bricks: int = _MAX_BRICKS,
     brick_size: Tuple[int, int, int] = None,
+    table_bits: int = 32,
     defer_ggx: int = 0,
     brick_major: bool = False,
     cascade_factor: int = _CASCADE_FACTOR,
@@ -456,6 +458,67 @@ def render_tile(
     if albedo_mode == "split":
         albedo_flat3 = med.albedo.data[..., :3].reshape(-1, 3)
 
+    # -- quantized packed density table (table_bits 8/4) ------------------
+    # XLA's big-table gather rate is set by TABLE SIZE, not row width
+    # (benchmarks/micro_pgather.py): 67 MB gathers at ~52 M rows/s while
+    # <=8 MB tables run ~75-80.  Packing 32/table_bits voxels per int32
+    # (stored as (Vp, 2) uint32 rows, one wide-row gather + VPU bit
+    # extract per tap) shrinks the table 4-8x to jump rate class.  The
+    # stored value is round-to-nearest rho/max_density at 2^bits levels,
+    # so each tap's acceptance probability is off by at most
+    # 1/(2^(bits+1)-2) of max_density (0.2% at 8 bits — the same order
+    # as the reference's 9-bit CUDA texture interpolation weights,
+    # CudaVolPath.cpp:171-175).  Majorant tables are built from the
+    # DEQUANTIZED grid so the two-level bound stays valid.  Only the
+    # 1-channel (const/affine/split albedo) table family packs.
+    use_packed = table_bits in (8, 4) and flat_tab
+    if table_bits not in (32, 8, 4):
+        raise ValueError("table_bits must be 32, 8 or 4")
+    if use_packed:
+        per = 32 // table_bits  # voxels per uint32
+        qmask = jnp.uint32((1 << table_bits) - 1)
+        qmax_f = float((1 << table_bits) - 1)
+        maxd_f = med.max_density
+        q_flat = jnp.round(
+            jnp.clip(fused / maxd_f, 0.0, 1.0) * qmax_f
+        ).astype(jnp.uint32)
+        pad = (-q_flat.size) % (2 * per)
+        qp = jnp.pad(q_flat, (0, pad)).reshape(-1, 2, per)
+        sh = (jnp.arange(per, dtype=jnp.uint32)
+              * jnp.uint32(table_bits)).reshape(1, 1, per)
+        packed_tab = jnp.sum(
+            qp << sh, axis=-1, dtype=jnp.uint32
+        )  # (Vp, 2)
+        dequant = maxd_f / qmax_f
+
+        def dequant_grid(g):
+            """round-trip a density grid through the quantizer (the
+            values taps will actually see — majorants bound THIS)."""
+            return (
+                jnp.round(jnp.clip(g / maxd_f, 0.0, 1.0) * qmax_f)
+                * dequant
+            )
+
+        def fused_take(j):
+            """rho at flat index j from the packed table (any shape).
+            The int32-half pick is a where-select, NOT take_along_axis:
+            a (N, 2) per-row gather measured 10+ ms/262k on v5e while
+            the 2-way select is a plain VPU op (micro_pgather)."""
+            rowi = j // (2 * per)
+            word01 = jnp.take(packed_tab, rowi, axis=0)  # (..., 2)
+            word = jnp.where(
+                (j // per) % 2 == 0, word01[..., 0], word01[..., 1]
+            )
+            shift = (j % per).astype(jnp.uint32) * jnp.uint32(table_bits)
+            valq = (word >> shift) & qmask
+            return valq.astype(jnp.float32) * dequant
+    else:
+        def dequant_grid(g):
+            return g
+
+        def fused_take(j):
+            return jnp.take(fused, j, axis=0)
+
     def tap_flat_idx(ix, iy, iz):
         """Flat table index of a clamped integer tap (row-major or
         brick-major layout).  Brick-major shifts/masks derive from
@@ -496,7 +559,9 @@ def render_tile(
         a valid majorant until the next crossing, so switching tables at
         stage boundaries needs no re-probe."""
         nbz, nby, nbx = -(-nz // bz_), -(-ny // by_), -(-nx // bx_)
-        major = brick_majorants(med.density.data, (bz_, by_, bx_))
+        major = brick_majorants(
+            dequant_grid(med.density.data), (bz_, by_, bx_)
+        )
         # world-space edge of the safe Chebyshev ball around a brick
         edge_world = jnp.asarray([bx_, by_, bz_], jnp.float32) * (
             extent / res_minus_1
@@ -749,9 +814,9 @@ def render_tile(
                 )
                 tap_bits, rng = next_uint32(rng, inside)
                 tap_flat = clipped_tap_flat(t_cand, tap_bits)
-                row = jnp.take(
-                    fused, jnp.where(inside, tap_flat, 0), axis=0
-                )  # (N, 4)
+                row = fused_take(
+                    jnp.where(inside, tap_flat, 0)
+                )  # (N, 4) / (N,) packed
                 rho_hat = row_rho(row)
                 u2, rng = next_float(rng, inside)
                 accepted = jnp.logical_and(
@@ -790,9 +855,9 @@ def render_tile(
                         clipped_tap_flat(t_cands[..., j], tap_bits)
                     )
                 idxk = jnp.stack(flats, axis=-1)  # (N, K)
-                rows = jnp.take(
-                    fused, jnp.where(validj, idxk, 0), axis=0
-                )  # (N, K, 4)
+                rows = fused_take(
+                    jnp.where(validj, idxk, 0)
+                )  # (N, K, 4) / (N, K) packed
                 u2s = []
                 for j in range(spec_k):
                     u2, rng = next_float(rng, validj[..., j])
@@ -884,7 +949,7 @@ def render_tile(
             iy = jnp.clip(tap[..., 1], 0, ny - 1)
             iz = jnp.clip(tap[..., 2], 0, nz - 1)
             tap_flat = tap_flat_idx(ix, iy, iz)
-            row = jnp.take(fused, tap_flat, axis=0)  # (N,4)
+            row = fused_take(tap_flat)  # (N,4) / (N,) packed
             rho_hat = row_rho(row)
             u2, rng = next_float(rng, step_mask)
             overran = t_new > max_t
@@ -942,9 +1007,7 @@ def render_tile(
                     )
                 )
             idxk = jnp.stack(flats, axis=-1)  # (N, K)
-            rows = jnp.take(
-                fused, jnp.where(in_vol, idxk, 0), axis=0
-            )
+            rows = fused_take(jnp.where(in_vol, idxk, 0))
             u2s = []
             for j in range(spec_k):
                 u2, rng = next_float(rng, in_vol[..., j])
@@ -1091,6 +1154,7 @@ def render_tile(
         tail_pallas
         and _albedo_mode(scene) in ("const", "affine")
         and defer_ggx == 0
+        and not use_packed  # tailPK windows gather the f32 grid
     )
     pk_width = min(tail_pk_width, n_lanes)
     img = jnp.zeros((n_pix, 3), jnp.float32)

@@ -305,3 +305,69 @@ class TestAffineAlbedo:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-6
             )
+
+
+def test_packed_table_exact_when_representable():
+    """table_bits=8 packs 4 voxels per uint32 word; when the density is
+    exactly representable on the 255-level grid the packed render must
+    be BIT-IDENTICAL to f32 (proves the pack/unpack roundtrip), and the
+    brick majorants (built from the dequantized grid) must still bound
+    every tap."""
+    import numpy as np
+
+    from cudavolumerenderer_tpu.scene import procedural
+    from cudavolumerenderer_tpu.scene.types import make_medium, make_scene
+
+    # density on the dyadic grid k/256 with max_density 255/256: the
+    # quantizer's dequant scale is then exactly 1/256 in float32, so
+    # quantize-dequantize roundtrips bit-exactly (k/255-grid values do
+    # NOT roundtrip — 1/255 is not representable)
+    d = np.round(
+        procedural.medical_volume((16, 16, 16), n_blobs=4) * 255
+    ) / 256
+    alb = np.stack([d, 0.5 * np.ones_like(d), 1.0 - d], axis=-1)
+    scene = make_scene(
+        make_medium(d.astype(np.float32), alb, scale=20.0,
+                    max_density=255.0 / 256.0)
+    )
+    camera = make_camera(16, 16)
+    settings = RenderSettings.from_flags(True)
+    common = dict(
+        tile_dim=(16, 16), tile_offset=jnp.zeros(2, jnp.float32),
+        full_resolution=(16, 16), spp=4,
+    )
+    for two_level in (False, True):
+        a, _ = fast.render_tile(scene, camera, settings, seed=7,
+                                path_id_base=0, two_level=two_level,
+                                **common)
+        b, _ = fast.render_tile(scene, camera, settings, seed=7,
+                                path_id_base=0, two_level=two_level,
+                                table_bits=8, **common)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_table_quantization_bounded():
+    """Non-representable density: the 8-bit packed render's image mean
+    must sit within ~1% of the f32 render (quantization bias bound)."""
+    import numpy as np
+
+    from cudavolumerenderer_tpu.scene import procedural
+    from cudavolumerenderer_tpu.scene.types import make_medium, make_scene
+
+    d = procedural.medical_volume((16, 16, 16), n_blobs=4)
+    alb = np.stack([d, 0.5 * np.ones_like(d), 1.0 - d], axis=-1)
+    scene = make_scene(
+        make_medium(d, alb, scale=20.0, max_density=1.0)
+    )
+    camera = make_camera(16, 16)
+    settings = RenderSettings.from_flags(True)
+    common = dict(
+        tile_dim=(16, 16), tile_offset=jnp.zeros(2, jnp.float32),
+        full_resolution=(16, 16), spp=32, two_level=True,
+    )
+    a, _ = fast.render_tile(scene, camera, settings, seed=3,
+                            path_id_base=0, **common)
+    b, _ = fast.render_tile(scene, camera, settings, seed=3,
+                            path_id_base=0, table_bits=8, **common)
+    am, bm = float(np.asarray(a).mean()), float(np.asarray(b).mean())
+    assert abs(am - bm) / am < 0.01
