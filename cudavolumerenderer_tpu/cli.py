@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="fastSK: cascade pool shrink factor",
     )
     p.add_argument(
+        "--table-bits", type=int, default=32, choices=[32, 8, 4],
+        help="fastSK: quantized packed density table (8/4 bits per "
+        "voxel; 4-8x smaller gathers; acceptance bias bounded by "
+        "1/(2^(bits+1)-2) of max_density; forced off under "
+        "--mitsuba-comparable)",
+    )
+    p.add_argument(
         "--tail-single-level", action="store_true",
         help="fastSK: tail pools use global-majorant tracking with "
         "--tail-spec speculative steps per gather",
@@ -184,6 +191,7 @@ def config_from_args(args) -> Config:
         defer_ggx=args.defer_ggx,
         brick_major=args.brick_major,
         cascade_factor=args.cascade_factor,
+        table_bits=args.table_bits,
         tail_single_level=args.tail_single_level,
         tail_spec=args.tail_spec,
         spec_width=args.spec_width,

@@ -155,6 +155,12 @@ class Config:
     min_width: Optional[int] = None
     #: finer tail-pool brick granularity (0 = same table as full width)
     tail_bricks: int = 0
+    #: fastSK quantized packed density table: 32 (off), 8 or 4 bits
+    #: per voxel packed into uint32 rows — shrinks the big-table gather
+    #: 4-8x to jump XLA's size-gated rate class (micro_pgather).
+    #: Acceptance-probability bias <= 1/(2^(bits+1)-2) of max_density;
+    #: forced to 32 under mitsuba_comparable settings.
+    table_bits: int = 32
     #: fastSK persistent Pallas tail kernel (ops/pallas/tailpk.py):
     #: in-VMEM tracking + scatter + RR once the pending count fits
     #: tail_pk_width rows; requires const/affine albedo

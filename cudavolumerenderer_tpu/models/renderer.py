@@ -303,6 +303,8 @@ def make_kernel_fn(config: Config):
                 tail_pallas=config.tail_pallas,
                 tail_pk_width=config.tail_pk_width,
                 tail_pk_steps=config.tail_pk_steps,
+                table_bits=(32 if config.settings.mitsuba_comparable
+                            else config.table_bits),
             )
         return fsk
     if k == Kernel.BRICK_SK:
