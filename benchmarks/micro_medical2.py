@@ -143,6 +143,13 @@ def main() -> int:
         # (32768, 2) stays on the fast small-gather path)
         ("b32+minw128", dict(**base, max_bricks=32768, min_width=128)),
         ("b8+minw128", dict(**base, max_bricks=512, min_width=128)),
+        # round-4: quantized packed density tables (rate-class jump)
+        ("b8+minw128+tb4",
+         dict(**base, max_bricks=512, min_width=128, table_bits=4)),
+        ("b8+minw128+tb8",
+         dict(**base, max_bricks=512, min_width=128, table_bits=8)),
+        ("b16+minw128+tb4",
+         dict(**base, max_bricks=4096, min_width=128, table_bits=4)),
     ]
     if args.only:
         sweep = [

@@ -206,7 +206,7 @@ def main():
                 0, 1 << 31, (Vp, 2)).astype(np.int32))
         def packed_take(t, j):
             row = jnp.take(t, j >> 4, axis=0)          # (N, 2) int32
-            word = jnp.where((j >> 3) & 1 == 0, row[:, 0], row[:, 1])
+            word = jnp.where(((j >> 3) & 1) == 0, row[:, 0], row[:, 1])
             nib = (word >> ((j & 7) << 2)) & 0xF
             return nib.astype(jnp.float32) * (1.0 / 15.0)
         bench("xla_packed", lambda r: (tp, fresh_idx(r)),
@@ -219,7 +219,7 @@ def main():
                 0, 1 << 31, (Vp8, 2)).astype(np.int32))
         def packed8_take(t, j):
             row = jnp.take(t, j >> 3, axis=0)
-            word = jnp.where((j >> 2) & 1 == 0, row[:, 0], row[:, 1])
+            word = jnp.where(((j >> 2) & 1) == 0, row[:, 0], row[:, 1])
             byte = (word >> ((j & 3) << 3)) & 0xFF
             return byte.astype(jnp.float32) * (1.0 / 255.0)
     if want("xla_packed8f"):
