@@ -69,6 +69,10 @@ def main() -> int:
     )
     parser.add_argument("--defer-ggx", type=int, default=0)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--table-bits", type=int, default=32,
+                        choices=[32, 8, 4],
+                        help="quantized packed density table: 4.3 GB "
+                        "f32 -> 1.07 GB (8) / 537 MB (4)")
     args = parser.parse_args()
 
     import jax
@@ -104,6 +108,7 @@ def main() -> int:
         full_resolution=(res, res), spp=args.iters,
         two_level=True, with_stats=True,
         brick_major=args.brick_major, defer_ggx=args.defer_ggx,
+        table_bits=args.table_bits,
     )
     if not args.no_fwd:
         out = fast.render_tile(seed=1, path_id_base=0, **kw)
