@@ -90,6 +90,12 @@ def main() -> int:
         ("casc3", dict(cascade_factor=3)),
         ("casc2+b2+tb2", dict(**base, brick_size=(2, 2, 2),
                               tail_bricks=2)),
+        # round-4 packed tables: smoke's 3.3 MB table packs to 0.4 MB
+        # (4-bit) — into the fast <=1 MB gather class (micro_pgather)
+        ("casc2+q4", dict(**base, table_bits=4)),
+        ("casc2+q8", dict(**base, table_bits=8)),
+        ("casc2+b2+q4", dict(**base, brick_size=(2, 2, 2),
+                             table_bits=4)),
     ]
     if args.only:
         configs = [
