@@ -482,13 +482,21 @@ def render_tile(
         q_flat = jnp.round(
             jnp.clip(fused / maxd_f, 0.0, 1.0) * qmax_f
         ).astype(jnp.uint32)
-        pad = (-q_flat.size) % (2 * per)
-        qp = jnp.pad(q_flat, (0, pad)).reshape(-1, 2, per)
-        sh = (jnp.arange(per, dtype=jnp.uint32)
-              * jnp.uint32(table_bits)).reshape(1, 1, per)
-        packed_tab = jnp.sum(
-            qp << sh, axis=-1, dtype=jnp.uint32
-        )  # (Vp, 2)
+        # Pack along SUBLANE rows of a (R, 128) view: a word holds the
+        # per voxels {j : j%128==c, j//128 in [w*per,(w+1)*per)}, i.e.
+        # strided-by-128 rather than consecutive.  Every intermediate
+        # keeps a 128 trailing dim — the obvious (Vp, 2, per) reshape
+        # acquires a T(2,128) tiled layout whose pad is 16x, a measured
+        # 64 GB OOM at 1024^3 (same trap as the round-2 brick-major
+        # build, PERF.md).
+        pad = (-q_flat.size) % (128 * 2 * per)
+        q2 = jnp.pad(q_flat, (0, pad)).reshape(-1, 128)  # (R, 128)
+        word2 = jnp.zeros((q2.shape[0] // per, 128), jnp.uint32)
+        for k in range(per):
+            word2 = word2 | (
+                q2[k::per, :] << jnp.uint32(k * table_bits)
+            )
+        packed_tab = word2.reshape(-1, 2)  # (Vp, 2) word pairs
         dequant = maxd_f / qmax_f
 
         def dequant_grid(g):
@@ -501,15 +509,20 @@ def render_tile(
 
         def fused_take(j):
             """rho at flat index j from the packed table (any shape).
+            Index math inverts the sublane-row packing above: voxel j
+            sits at (r, c) = (j//128, j%128) of the (R, 128) view; its
+            word is flat index f = (r//per)*128 + c with shift r%per.
             The int32-half pick is a where-select, NOT take_along_axis:
             a (N, 2) per-row gather measured 10+ ms/262k on v5e while
             the 2-way select is a plain VPU op (micro_pgather)."""
-            rowi = j // (2 * per)
-            word01 = jnp.take(packed_tab, rowi, axis=0)  # (..., 2)
+            r = j >> 7
+            c = j & 127
+            f = (r // per) * 128 + c
+            word01 = jnp.take(packed_tab, f >> 1, axis=0)  # (..., 2)
             word = jnp.where(
-                (j // per) % 2 == 0, word01[..., 0], word01[..., 1]
+                (f & 1) == 0, word01[..., 0], word01[..., 1]
             )
-            shift = (j % per).astype(jnp.uint32) * jnp.uint32(table_bits)
+            shift = (r % per).astype(jnp.uint32) * jnp.uint32(table_bits)
             valq = (word >> shift) & qmask
             return valq.astype(jnp.float32) * dequant
     else:
