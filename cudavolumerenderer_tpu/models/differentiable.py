@@ -544,8 +544,271 @@ def _replay_bounce_2l(scene, settings, st, s_lane, g_lane, record, tables):
     )
 
 
+def _replay_2l_fused(scene, settings, o0, d0, rng0, s_lane, g_lane,
+                     record, d_density0, d_albedo0, tables):
+    """Fused single-loop two-level replay.
+
+    The nested replay (outer while over bounces, inner while over
+    Woodcock steps inside _replay_bounce_2l) runs every lane in
+    BOUNCE-lockstep: each outer iteration waits for the slowest lane's
+    free flight, and the outer loop runs to the LAST path's death —
+    measured 17.4 s for a 512^2 primal at 1024^3 where the forward
+    fastSK path does the same physics in ~0.1 s (PERF.md round-4
+    fwd+bwd anatomy).  This version flattens both loops into ONE while
+    over steps with a per-lane state machine (the fastSK structure,
+    models/fast.py body()): each iteration a lane either starts a
+    segment (AABB intersect), advances one tracking step, or applies
+    its scatter/boundary event.  The per-lane draw SEQUENCE is
+    identical to the nested replay (masked-RNG draws advance only the
+    drawing lane's stream), so outputs are BIT-IDENTICAL — asserted by
+    tests/test_grad.py::test_fused_replay_matches_nested.  The total
+    iteration count drops from sum over bounces of max-steps to the
+    max over lanes of total steps.
+    """
+    med = scene.medium
+    major, cheb, brick = tables
+    bz_, by_, bx_ = brick
+    nz, ny, nx = med.density.data.shape
+    nbz, nby, nbx = major.shape
+    density_flat = med.density.data.reshape(-1)
+    alb_shape = med.albedo.data.shape
+    const_alb = all(s == 1 for s in alb_shape[:3])
+    albedo_flat = med.albedo.data.reshape(-1, alb_shape[-1])
+    res_minus_1 = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32)
+    extent = med.box_max - med.box_min
+    scale = med.scale
+    brick_size = jnp.asarray([bx_, by_, bz_], jnp.float32)
+    brick_hi = jnp.asarray([nbx - 1, nby - 1, nbz - 1], jnp.int32)
+    edge_world = brick_size * (extent / res_minus_1)
+    min_edge = jnp.min(edge_world)
+    major_flat = major.reshape(-1)
+    leap_flat = (
+        jnp.maximum(cheb.reshape(-1) - 1.0, 0.0) * min_edge * (1.0 - 1e-6)
+    )
+    epsw = jnp.max(extent) * 1e-6
+    n_lanes = o0.shape[0]
+    zero1 = jnp.zeros((n_lanes,), jnp.float32)
+    zerob = jnp.zeros((n_lanes,), bool)
+    cap = jnp.int32(settings.max_path_length)
+
+    def cond(c):
+        return jnp.any(c[4])
+
+    def body(c):
+        (o, d, tput, rad, alive, rng, bounce, seg, in_med, t,
+         brick_exit, inv_sig, rho_loc, max_t, normal, dd, da) = c
+
+        # -- A: segment start (the nested bounce preamble) ----------------
+        start = jnp.logical_and(alive, jnp.logical_not(seg))
+        isect = aabb.aabb_intersect(med.box_min, med.box_max, o, d)
+        miss = jnp.logical_and(start, jnp.logical_not(isect.hit))
+        rad = jnp.where(miss[..., None], rad + tput * scene.le, rad)
+        alive = jnp.logical_and(alive, jnp.logical_not(miss))
+        st2 = jnp.logical_and(start, isect.hit)
+        seg = jnp.logical_or(seg, st2)
+        t = jnp.where(st2, 0.0, t)
+        brick_exit = jnp.where(st2, -1.0, brick_exit)
+        inv_sig = jnp.where(st2, 0.0, inv_sig)
+        rho_loc = jnp.where(st2, 0.0, rho_loc)
+        max_t = jnp.where(st2, isect.dist, max_t)
+        normal = jnp.where(st2[..., None], isect.normal, normal)
+        in_med = jnp.where(st2, isect.inside_volume, in_med)
+        # entering from outside: no tracking — straight to boundary
+        imm_bnd = jnp.logical_and(st2, jnp.logical_not(isect.inside_volume))
+
+        # -- B: one two-level tracking step (wbody of the nested code) ----
+        running = jnp.logical_and(jnp.logical_and(seg, alive), in_med)
+        need_brick = jnp.logical_and(running, t >= brick_exit)
+        p_now = o + (t + epsw)[..., None] * d
+        coordn = (
+            jnp.clip((p_now - med.box_min) / extent, 0.0, 1.0)
+            * res_minus_1
+        )
+        bi = jnp.clip(
+            jnp.floor(coordn / brick_size).astype(jnp.int32), 0, brick_hi
+        )
+        bflat = (bi[..., 2] * nby + bi[..., 1]) * nbx + bi[..., 0]
+        idx_b = jnp.where(need_brick, bflat, 0)
+        rho_b = jnp.take(major_flat, idx_b, axis=0)
+        leap_b = jnp.take(leap_flat, idx_b, axis=0)
+        up = (d > 0.0).astype(jnp.float32)
+        bound_coord = (bi.astype(jnp.float32) + up) * brick_size
+        bound_world = med.box_min + extent * bound_coord / res_minus_1
+        okd = jnp.abs(d) > 1e-12
+        t_axes = jnp.where(
+            okd, (bound_world - o) / jnp.where(okd, d, 1.0), jnp.inf
+        )
+        exit_new = jnp.maximum(jnp.min(t_axes, axis=-1), t + epsw)
+        brick_exit = jnp.where(need_brick, exit_new, brick_exit)
+        inv_sig = jnp.where(
+            need_brick,
+            jnp.where(
+                rho_b > 0.0,
+                1.0 / (scale * jnp.maximum(rho_b, 1e-30)),
+                jnp.inf,
+            ),
+            inv_sig,
+        )
+        rho_loc = jnp.where(need_brick, rho_b, rho_loc)
+
+        probe_empty = jnp.logical_and(need_brick, rho_b <= 0.0)
+        t_leap = jnp.maximum(exit_new, t + leap_b)
+        overran_empty = jnp.logical_and(probe_empty, t_leap >= max_t)
+
+        stepping = jnp.logical_and(running, jnp.logical_not(probe_empty))
+        u1, rng = next_float(rng, stepping)
+        step = jnp.where(
+            stepping,
+            -jnp.log(jnp.maximum(u1, EPSILON)) * inv_sig,
+            0.0,
+        )
+        t_cand = t + step
+        eff_exit = jnp.minimum(brick_exit, max_t)
+        crossed = jnp.logical_and(stepping, t_cand >= eff_exit)
+        inside = jnp.logical_and(stepping, jnp.logical_not(crossed))
+
+        p = o + t_cand[..., None] * d
+        coord = (
+            jnp.clip((p - med.box_min) / extent, 0.0, 1.0) * res_minus_1
+        )
+        tap_bits, rng = next_uint32(rng, inside)
+        tap = fast._stochastic_tap(coord, tap_bits)
+        ix = jnp.clip(tap[..., 0], 0, nx - 1)
+        iy = jnp.clip(tap[..., 1], 0, ny - 1)
+        iz = jnp.clip(tap[..., 2], 0, nz - 1)
+        tap_flat = (iz * ny + iy) * nx + ix
+        rho = jnp.take(
+            density_flat, jnp.where(inside, tap_flat, 0), axis=0
+        )
+        u2, rng = next_float(rng, inside)
+        accepted = jnp.logical_and(
+            inside, jnp.logical_not(scale * rho * inv_sig < u2)
+        )
+        if record:
+            is_null = jnp.logical_and(inside, jnp.logical_not(accepted))
+            score = jnp.where(
+                accepted,
+                1.0 / jnp.maximum(rho, 1e-8),
+                jnp.where(
+                    is_null,
+                    -1.0 / jnp.maximum(rho_loc - rho, 1e-8),
+                    0.0,
+                ),
+            )
+            dd = dd.at[
+                jnp.where(inside, tap_flat, len(density_flat))
+            ].add(s_lane * score, mode="drop")
+
+        overran_step = jnp.logical_and(crossed, max_t <= brick_exit)
+        transit = jnp.logical_and(crossed, jnp.logical_not(overran_step))
+        t = jnp.where(
+            probe_empty,
+            jnp.minimum(t_leap, max_t),
+            jnp.where(
+                transit,
+                brick_exit,
+                jnp.where(
+                    overran_step,
+                    jnp.maximum(t, max_t),
+                    jnp.where(inside, t_cand, t),
+                ),
+            ),
+        )
+        brick_exit = jnp.where(probe_empty, -1.0, brick_exit)
+
+        # -- C: events for lanes whose segment just completed -------------
+        scat_now = accepted
+        trk_done = jnp.logical_or(
+            accepted, jnp.logical_or(overran_step, overran_empty)
+        )
+        bnd_now = jnp.logical_or(
+            jnp.logical_and(trk_done, jnp.logical_not(accepted)), imm_bnd
+        )
+        done_now = jnp.logical_or(trk_done, imm_bnd)
+        seg = jnp.logical_and(seg, jnp.logical_not(done_now))
+
+        o_bound = o + d * max_t[..., None]
+        o_b, d_b, t_b, rng = integrator.boundary_event(
+            scene, settings, normal, o_bound, d, tput, rng, bnd_now
+        )
+
+        alb_idx = jnp.zeros_like(tap_flat) if const_alb else tap_flat
+        alb_row = jnp.take(
+            albedo_flat, jnp.where(scat_now, alb_idx, 0), axis=0
+        )
+        albedo = alb_row[..., :3]
+        if record:
+            adj = jnp.where(
+                scat_now[..., None],
+                g_lane / jnp.maximum(albedo, 1e-8),
+                0.0,
+            )
+            pad = jnp.zeros(adj.shape[:-1] + (1,), jnp.float32)
+            adj4 = jnp.concatenate([adj, pad], axis=-1)[
+                ..., : alb_shape[-1]
+            ]
+            if const_alb:
+                da = da + jnp.sum(adj4, axis=0, keepdims=True)
+            else:
+                da = da.at[
+                    jnp.where(scat_now, alb_idx, albedo_flat.shape[0])
+                ].add(adj4, mode="drop")
+        d_s, rng = phase.sample_phase(d, med.g, rng, active=scat_now)
+
+        o_s = o + d * t[..., None] - d * EPSILON
+        o = jnp.where(
+            scat_now[..., None], o_s,
+            jnp.where(bnd_now[..., None], o_b, o),
+        )
+        d = jnp.where(
+            scat_now[..., None], d_s,
+            jnp.where(bnd_now[..., None], d_b, d),
+        )
+        tput = jnp.where(
+            scat_now[..., None], tput * albedo,
+            jnp.where(bnd_now[..., None], t_b, tput),
+        )
+
+        if settings.russian_roulette:
+            tput, alive, _, rng = integrator.russian_roulette(
+                tput, alive, rng, jnp.logical_and(done_now, alive)
+            )
+
+        bounce = jnp.where(done_now, bounce + 1, bounce)
+        alive = jnp.logical_and(
+            alive,
+            jnp.logical_not(jnp.logical_and(done_now, bounce >= cap)),
+        )
+        return (o, d, tput, rad, alive, rng, bounce, seg, in_med, t,
+                brick_exit, inv_sig, rho_loc, max_t, normal, dd, da)
+
+    init = (
+        o0, d0,
+        jnp.ones((n_lanes, 3), jnp.float32),
+        jnp.zeros((n_lanes, 3), jnp.float32),
+        jnp.ones((n_lanes,), bool),
+        rng0,
+        jnp.zeros((n_lanes,), jnp.int32),
+        zerob, zerob,
+        zero1, zero1 - 1.0, zero1, zero1, zero1,
+        jnp.zeros((n_lanes, 3), jnp.float32),
+        d_density0, d_albedo0,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    (o, d, tput, rad, alive, rng, _, _, _, _, _, _, _, _, _, dd, da) = out
+    return _ReplayState(
+        o=o, d=d, throughput=tput, radiance=rad, alive=alive, rng=rng,
+        d_density=dd, d_albedo=da,
+    )
+
+
 def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
-            d_density0, d_albedo0, tables=None):
+            d_density0, d_albedo0, tables=None, fused=True):
+    if tables is not None and fused:
+        return _replay_2l_fused(
+            scene, settings, o0, d0, rng0, s_lane, g_lane, record,
+            d_density0, d_albedo0, tables,
+        )
     n = o0.shape[:-1]
     st = _ReplayState(
         o=o0, d=d0,

@@ -279,3 +279,79 @@ class TestTwoLevelGradients:
         )
         ma, mb = float(jnp.mean(a)), float(jnp.mean(b))
         assert abs(ma - mb) / ma < 0.05, (ma, mb)
+
+
+class TestFusedReplay:
+    """The fused single-loop 2L replay must be BIT-IDENTICAL to the
+    nested (bounce-lockstep) replay: identical per-lane draw sequences
+    by construction (round-4, PERF.md fwd+bwd anatomy)."""
+
+    def test_fused_replay_matches_nested(self):
+        from cudavolumerenderer_tpu.models.differentiable import (
+            _build_brick_tab,
+            _lane_setup,
+            _replay,
+        )
+
+        density, albedo = grids()
+        settings = settings_nr(max_len=12)
+        scene = SPEC.build(density, albedo)
+        tables = _build_brick_tab(density)
+        cam_obj = CAM.build()
+        n_lanes, image_id, o0, d0, rng = _lane_setup(
+            cam_obj, RES, 4, 123
+        )
+        zd = jnp.zeros((density.size,), jnp.float32)
+        za = jnp.zeros((density.size, 4), jnp.float32)
+        s_lane = jnp.ones((n_lanes,), jnp.float32) * 0.5
+        g_lane = jnp.ones((n_lanes, 3), jnp.float32) * 0.25
+        outs = {}
+        for fused in (False, True):
+            outs[fused] = _replay(
+                scene, settings, o0, d0, rng, s_lane, g_lane, True,
+                zd, za, tables, fused=fused,
+            )
+        # everything the estimator and gradients depend on must be
+        # bit-equal; the final (dead-lane) positions may differ by an
+        # ulp from XLA fma reassociation across the two loop structures
+        for field in ("radiance", "throughput", "d_density", "d_albedo"):
+            a = np.asarray(getattr(outs[False], field))
+            b = np.asarray(getattr(outs[True], field))
+            np.testing.assert_array_equal(a, b, err_msg=field)
+        for field in ("o", "d"):
+            a = np.asarray(getattr(outs[False], field))
+            b = np.asarray(getattr(outs[True], field))
+            np.testing.assert_allclose(a, b, atol=1e-6, err_msg=field)
+
+    def test_fused_replay_matches_nested_with_rr(self):
+        from cudavolumerenderer_tpu.models.differentiable import (
+            _build_brick_tab,
+            _lane_setup,
+            _replay,
+        )
+
+        density, albedo = grids()
+        settings = RenderSettings.from_flags(
+            True, russian_roulette=True, max_path_length=16
+        )
+        scene = SPEC.build(density, albedo)
+        tables = _build_brick_tab(density)
+        cam_obj = CAM.build()
+        n_lanes, image_id, o0, d0, rng = _lane_setup(
+            cam_obj, RES, 2, 77
+        )
+        zd = jnp.zeros((density.size,), jnp.float32)
+        za = jnp.zeros((density.size, 4), jnp.float32)
+        zero = jnp.zeros((n_lanes,), jnp.float32)
+        outs = {}
+        for fused in (False, True):
+            outs[fused] = _replay(
+                scene, settings, o0, d0, rng, zero,
+                jnp.zeros((n_lanes, 3), jnp.float32), False,
+                jnp.zeros((0,), jnp.float32),
+                jnp.zeros((0, 4), jnp.float32), tables, fused=fused,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(outs[False].radiance),
+            np.asarray(outs[True].radiance),
+        )
