@@ -431,7 +431,18 @@ def render_tile(
     event's draws happen later in wall time but at the same position in
     the lane's own stream), so images agree with defer_ggx=0 exactly."""
     tw, th = tile_dim
-    n_pix = tw * th
+    n_pix_tile = tw * th
+    # Multi-tile lane mode: tile_offset shaped (T, 2) renders ALL T
+    # tiles in ONE cascade — lanes cover T*tw*th virtual pixels, each
+    # carrying its tile's origin and path-id base (path_id_base is then
+    # a (T,) array).  Per-tile path ids and camera jitter match the
+    # sequential per-tile calls exactly, so results are bit-identical
+    # to looping render_tile over tiles — but tiny-tile configurations
+    # (thesis Table 4.2's 64x64 rows; BASELINE config 4's 10x10) stop
+    # paying one full cascade drain per tile.
+    multi_t = tile_offset.ndim == 2
+    n_tiles_batch = tile_offset.shape[0] if multi_t else 1
+    n_pix = n_pix_tile * n_tiles_batch
     m = lanes_per_pixel
     while spp % m != 0:
         m -= 1
@@ -629,13 +640,40 @@ def render_tile(
     pix0 = (lane % jnp.uint32(n_pix)).astype(jnp.int32)
     slot0 = (lane // jnp.uint32(n_pix)).astype(jnp.int32)
 
-    def path_id_of(pix, slot, samples_done):
-        s = slot.astype(jnp.uint32) + jnp.uint32(m) * samples_done.astype(
-            jnp.uint32
-        )
-        return s * jnp.uint32(n_pix) + pix.astype(jnp.uint32) + jnp.asarray(
-            path_id_base, jnp.uint32
-        )
+    if multi_t:
+        bases_u32 = jnp.asarray(path_id_base, jnp.uint32)  # (T,)
+
+        def path_id_of(pix, slot, samples_done):
+            s = slot.astype(jnp.uint32) + jnp.uint32(
+                m
+            ) * samples_done.astype(jnp.uint32)
+            tix = pix // n_pix_tile
+            local = (pix % n_pix_tile).astype(jnp.uint32)
+            return (
+                s * jnp.uint32(n_pix_tile) + local
+                + jnp.take(bases_u32, tix, axis=0)
+            )
+
+        def pixel_xy_of(pix):
+            local = pix % n_pix_tile
+            off = jnp.take(tile_offset, pix // n_pix_tile, axis=0)
+            px = (local % tw).astype(jnp.float32) + off[..., 0]
+            py = jnp.floor(local.astype(jnp.float32) / tw) + off[..., 1]
+            return jnp.stack([px, py], axis=-1)
+    else:
+        def path_id_of(pix, slot, samples_done):
+            s = slot.astype(jnp.uint32) + jnp.uint32(
+                m
+            ) * samples_done.astype(jnp.uint32)
+            return (
+                s * jnp.uint32(n_pix) + pix.astype(jnp.uint32)
+                + jnp.asarray(path_id_base, jnp.uint32)
+            )
+
+        def pixel_xy_of(pix):
+            px = (pix % tw).astype(jnp.float32) + tile_offset[0]
+            py = jnp.floor(pix.astype(jnp.float32) / tw) + tile_offset[1]
+            return jnp.stack([px, py], axis=-1)
 
     zero3 = jnp.zeros((n_lanes, 3), jnp.float32)
     zero1 = jnp.zeros((n_lanes,), jnp.float32)
@@ -711,9 +749,7 @@ def render_tile(
             state=jnp.where(needs, fresh.state, s.rng.state),
             inc=jnp.where(needs, fresh.inc, s.rng.inc),
         )
-        px = (s.pix % tw).astype(jnp.float32) + tile_offset[0]
-        py = jnp.floor(s.pix.astype(jnp.float32) / tw) + tile_offset[1]
-        pixel_xy = jnp.stack([px, py], axis=-1)
+        pixel_xy = pixel_xy_of(s.pix)
         o_new, d_new, rng = cam.generate_rays(
             camera, pixel_xy, full_resolution, rng, active=needs
         )
@@ -1182,6 +1218,7 @@ def render_tile(
         and _albedo_mode(scene) in ("const", "affine")
         and defer_ggx == 0
         and not use_packed  # tailPK windows gather the f32 grid
+        and not multi_t  # tailPK's service loop is single-tile
     )
     pk_width = min(tail_pk_width, n_lanes)
     img = jnp.zeros((n_pix, 3), jnp.float32)
@@ -1274,7 +1311,10 @@ def render_tile(
         stage_rows.append(state.n_rows - rows_before)
         img = img.at[state.pix].add(state.accum, mode="drop")
 
-    img = img.reshape(th, tw, 3)
+    img = (
+        img.reshape(n_tiles_batch, th, tw, 3)
+        if multi_t else img.reshape(th, tw, 3)
+    )
     if with_stats:
         return (
             img, state.n_rays, state.n_rows, state.n_busy,

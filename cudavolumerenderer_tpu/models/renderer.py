@@ -233,15 +233,35 @@ class ProgressiveTiledRenderer:
         w, hres = self.config.resolution
         ntx, nty = self.config.n_tiles
 
-        def batched(scene, camera, offsets, bases, seed):
-            def one(args):
-                off, base = args
-                return kernel_fn(
-                    scene, camera, settings, (tw, th), off, (w, hres),
-                    spp, seed, base,
-                )
+        n_tiles = ntx * nty
+        # fastSK renders ALL tiles in ONE cascade (multi-tile lane mode,
+        # fast.render_tile with (T, 2) offsets): tiny-tile configs stop
+        # paying a full cascade drain per tile (thesis Table 4.2's
+        # catastrophic 64x64 rows; BASELINE config 4's 10x10).  Other
+        # batchable kernels keep the sequential lax.map dispatch.
+        # Bit-identical either way (same per-tile path ids and jitter).
+        use_multi = (
+            self.config.kernel == Kernel.FAST_SK
+            and n_tiles * tw * th
+            * max(1, self.config.lanes_per_pixel) <= (1 << 22)
+        )
 
-            imgs, nrs = jax.lax.map(one, (offsets, bases))
+        def batched(scene, camera, offsets, bases, seed):
+            if use_multi:
+                imgs, nr = kernel_fn(
+                    scene, camera, settings, (tw, th), offsets,
+                    (w, hres), spp, seed, bases,
+                )  # (T, th, tw, 3)
+                nrs = nr
+            else:
+                def one(args):
+                    off, base = args
+                    return kernel_fn(
+                        scene, camera, settings, (tw, th), off,
+                        (w, hres), spp, seed, base,
+                    )
+
+                imgs, nrs = jax.lax.map(one, (offsets, bases))
             # row-major tile array → padded image → crop to resolution
             padded = (
                 imgs.reshape(nty, ntx, th, tw, 3)
