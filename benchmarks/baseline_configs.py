@@ -111,6 +111,9 @@ def main() -> int:
                         help="small resolutions (CPU smoke test)")
     parser.add_argument(
         "--out", default="benchmarks/results_baseline_configs.json")
+    parser.add_argument(
+        "--only", nargs="*", default=None,
+        help="run only configs whose name contains any substring")
     args = parser.parse_args()
 
     from cudavolumerenderer_tpu import cli
@@ -137,6 +140,9 @@ def main() -> int:
          "config 4: tiled progressive, 10x10 tiles"),
     ]
 
+    if args.only:
+        rows = [r for r in rows
+                if any(s_ in r[0] for s_ in args.only)]
     results = {}
     for name, path, kernel, res, iters, tiles, ref in rows:
         config = Config(
