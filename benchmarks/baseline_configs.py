@@ -90,7 +90,11 @@ def _write_mitsuba_xml(tmp):
     <float name="scale" value="100"/>
   </medium>
   <sensor type="perspective">
-    <float name="fov" value="45"/>
+    <!-- frame the unit box from z=100 (it subtends ~0.57 deg): the
+         round-3 fov=45 left 99.98% of pixels as empty sky and ~26
+         straggler pixel-lanes serializing 50 deep samples — a framing
+         artifact, not a scheduler measurement -->
+    <float name="fov" value="0.7"/>
     <film type="hdrfilm">
       <integer name="width" value="400"/>
       <integer name="height" value="400"/>

@@ -240,8 +240,15 @@ class ProgressiveTiledRenderer:
         # catastrophic 64x64 rows; BASELINE config 4's 10x10).  Other
         # batchable kernels keep the sequential lax.map dispatch.
         # Bit-identical either way (same per-tile path ids and jitter).
+        # Engage only in the tiny-tile regime (<=2048 px/tile):
+        # measured at 1920^2, multi wins 64x64 (900-px tiles, 7.36 ->
+        # 3.66 s) but LOSES 2x2..32x32 (the multi pool's multi-M-lane
+        # argsort compactions outweigh lax.map's sequential per-tile
+        # drains — 4x4 measured 5.9 vs 2.7 s).  results_tiling_r4.json
+        # records both regimes.
         use_multi = (
             self.config.kernel == Kernel.FAST_SK
+            and tw * th * max(1, self.config.lanes_per_pixel) <= 2048
             and n_tiles * tw * th
             * max(1, self.config.lanes_per_pixel) <= (1 << 22)
         )
