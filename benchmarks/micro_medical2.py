@@ -150,6 +150,17 @@ def main() -> int:
          dict(**base, max_bricks=512, min_width=128, table_bits=8)),
         ("b16+minw128+tb4",
          dict(**base, max_bricks=4096, min_width=128, table_bits=4)),
+        # round-4b: q4 interaction sweep
+        ("b32+minw128+q4",
+         dict(**base, max_bricks=32768, min_width=128, table_bits=4)),
+        ("b8+minw128+q4+m2",
+         dict(**base, max_bricks=512, min_width=128, table_bits=4,
+              lanes_per_pixel=2)),
+        ("b8+minw128+q4+casc3",
+         dict(cascade_factor=3, max_bricks=512, min_width=128,
+              table_bits=4)),
+        ("b8+minw64+q4",
+         dict(**base, max_bricks=512, min_width=64, table_bits=4)),
     ]
     if args.only:
         sweep = [
