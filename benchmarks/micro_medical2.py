@@ -161,6 +161,14 @@ def main() -> int:
               table_bits=4)),
         ("b8+minw64+q4",
          dict(**base, max_bricks=512, min_width=64, table_bits=4)),
+        ("b32+minw64+qq4",
+         dict(**base, max_bricks=32768, min_width=64, table_bits=4)),
+        ("b8+minw32+qq4",
+         dict(**base, max_bricks=512, min_width=32, table_bits=4)),
+        ("b32+minw32+qq4",
+         dict(**base, max_bricks=32768, min_width=32, table_bits=4)),
+        ("b128k+minw64+qq4",
+         dict(**base, max_bricks=131072, min_width=64, table_bits=4)),
     ]
     if args.only:
         sweep = [
