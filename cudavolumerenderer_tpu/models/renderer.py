@@ -32,6 +32,12 @@ _BATCHABLE = frozenset({
     Kernel.REGENERATION_SK, Kernel.STREAMING_SK, Kernel.SORTING_SK,
 })
 
+#: module-level batched-dispatch cache, keyed by every config value the
+#: computation depends on (see _batched_cache_key): a per-instance
+#: cache re-traces each trial's fresh renderer, and a re-trace is a
+#: full remote recompile on the axon toolchain
+_BATCHED_FN_CACHE = {}
+
 
 def _tile_array(
     n_tiles: Tuple[int, int], tile_dim: Tuple[int, int]
@@ -72,12 +78,6 @@ class ProgressiveTiledRenderer:
         else:
             occupancy.validate_pool(config.n_lanes, grid_shape)
         self.kernel_fn = make_kernel_fn(config)
-        # compiled batched all-tiles dispatch, keyed by spp: the jitted
-        # callable must be BUILT ONCE and reused — re-tracing a fresh
-        # lax.map closure per render() call defeats the compile cache
-        # (measured: a 3.5 s 1920^2 tiled render became 90 s because
-        # every call recompiled the whole multi-tile program)
-        self._batched_jit = {}
         self.init_rendering()
 
     # -- progressive interface -------------------------------------------
@@ -217,12 +217,33 @@ class ProgressiveTiledRenderer:
             or tw * th * spp <= (1 << 22)
         )
 
+    def _batched_cache_key(self, spp: int):
+        """Everything the batched dispatch's computation depends on.
+        The cache must span RENDERER INSTANCES, not just calls on one:
+        run_test builds a fresh renderer per trial (the reference's
+        per-trial cudaDeviceReset, Main.cpp:60), and a fresh jax.jit
+        closure re-traces — which through the axon remote compiler is a
+        60-80 s full recompile PER TRIAL (measured: BASELINE config 4's
+        'rendering time' was 78-84 s warm while the kernel itself runs
+        0.45 s)."""
+        c = self.config
+        return (
+            c.kernel, self.settings, self.tile_dim, c.resolution,
+            c.n_tiles, spp, c.two_level, c.lanes_per_pixel, c.defer_ggx,
+            c.brick_major, c.cascade_factor, c.table_bits,
+            c.tail_single_level, c.tail_spec, c.spec_width, c.min_width,
+            c.tail_bricks, c.tail_pallas, c.tail_pk_width,
+            c.tail_pk_steps, c.regeneration_level, c.n_lanes,
+        )
+
     def _get_batched_fn(self, spp: int):
-        """Jitted all-tiles dispatch, compiled once per spp and reused
-        across render()/run_pass() calls.  seed and path-id bases are
+        """Jitted all-tiles dispatch, compiled once per configuration
+        and reused across render()/run_pass() calls AND across renderer
+        instances (module-level cache).  seed and path-id bases are
         traced arguments so per-trial seed bumps and progressive passes
         hit the same executable."""
-        fn = self._batched_jit.get(spp)
+        key = self._batched_cache_key(spp)
+        fn = _BATCHED_FN_CACHE.get(key)
         if fn is not None:
             return fn
         import jax
@@ -278,7 +299,7 @@ class ProgressiveTiledRenderer:
             return padded[:hres, :w], jnp.sum(nrs)
 
         fn = jax.jit(batched)
-        self._batched_jit[spp] = fn
+        _BATCHED_FN_CACHE[key] = fn
         return fn
 
     def _render_all_tiles_batched(self, spp: int) -> None:
