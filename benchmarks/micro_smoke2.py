@@ -96,6 +96,7 @@ def main() -> int:
         ("casc2+q8", dict(**base, table_bits=8)),
         ("casc2+b2+q4", dict(**base, brick_size=(2, 2, 2),
                              table_bits=4)),
+        ("casc2+q4+minw64", dict(**base, table_bits=4, min_width=64)),
     ]
     if args.only:
         configs = [
