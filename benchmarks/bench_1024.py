@@ -69,6 +69,7 @@ def main() -> int:
     )
     parser.add_argument("--defer-ggx", type=int, default=0)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--min-width", type=int, default=None)
     parser.add_argument("--table-bits", type=int, default=32,
                         choices=[32, 8, 4],
                         help="quantized packed density table: 4.3 GB "
@@ -108,7 +109,7 @@ def main() -> int:
         full_resolution=(res, res), spp=args.iters,
         two_level=True, with_stats=True,
         brick_major=args.brick_major, defer_ggx=args.defer_ggx,
-        table_bits=args.table_bits,
+        table_bits=args.table_bits, min_width=args.min_width,
     )
     if not args.no_fwd:
         out = fast.render_tile(seed=1, path_id_base=0, **kw)
