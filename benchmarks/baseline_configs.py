@@ -163,6 +163,13 @@ def main() -> int:
             "mean_time_s": round(r["mean_time"], 3),
             "resolution": res, "iterations": iters,
             "tiles": list(tiles), "reference": ref,
+            # scene-version tag so old/new numbers are like-for-like:
+            # the config-4 XML changed fov 45 -> 0.7 in round 4 (the
+            # fov-45 framing left 99.98% of pixels empty sky); numbers
+            # measured under different tags are different workloads
+            "scene_version": (
+                "r4-fov0.7" if name.startswith("4_") else "r3"
+            ),
         }
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)

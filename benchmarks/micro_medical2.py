@@ -176,7 +176,19 @@ def main() -> int:
             if any(sub in k for sub in args.only)
         ]
         print(f"--only: {[k for k, _ in sweep]}", flush=True)
+    from cudavolumerenderer_tpu.config import Config
+
     for key, kw in sweep:
+        # quantized configs go through the SAME gate as production
+        # (Config.effective_table_bits with the explicit opt-in), so
+        # every benched config is CLI-reachable via
+        # `--table-bits N --allow-quantized`; results are labeled
+        # reduced-precision below
+        kw = dict(kw)
+        kw["table_bits"] = Config(
+            table_bits=kw.get("table_bits", 32),
+            allow_quantized=True, settings=settings,
+        ).effective_table_bits
         times, rays = [], 0.0
         for rep in range(args.reps + 1):
             seed = 100 + rep
@@ -196,6 +208,10 @@ def main() -> int:
         results[key] = {
             "times_s": [round(t, 3) for t in times],
             "mrays_per_s": round(mrays, 2),
+            "precision": (
+                f"reduced-q{kw['table_bits']}"
+                if kw["table_bits"] < 32 else "full-f32"
+            ),
         }
         print(f"{key:28s} {[round(t,3) for t in times]}"
               f" -> {mrays:6.2f} Mrays/s", flush=True)

@@ -104,8 +104,18 @@ def main() -> int:
             if any(s in n for s in args.only)
         ]
 
+    from cudavolumerenderer_tpu.config import Config
+
     results = {}
     for name, kw in configs:
+        # production quantization gate (CLI-reachable via
+        # `--table-bits N --allow-quantized`); quantized rows are
+        # labeled reduced-precision in the JSON
+        kw = dict(kw)
+        kw["table_bits"] = Config(
+            table_bits=kw.get("table_bits", 32),
+            allow_quantized=True, settings=settings,
+        ).effective_table_bits
         times, rays = [], 0.0
         seed = 900
         for rep in range(args.reps + 1):
@@ -124,7 +134,13 @@ def main() -> int:
                   f"{rays / (dt * 1e6):.2f} Mrays/s (sum {s:.1f})",
                   flush=True)
         best = min(times)
-        results[name] = {"s": best, "mrays_s": rays / best / 1e6}
+        results[name] = {
+            "s": best, "mrays_s": rays / best / 1e6,
+            "precision": (
+                f"reduced-q{kw['table_bits']}"
+                if kw["table_bits"] < 32 else "full-f32"
+            ),
+        }
         print(f"{name}: BEST {rays / best / 1e6:.2f} Mrays/s", flush=True)
 
     with open(args.out, "w") as f:

@@ -39,6 +39,15 @@ def main():
     ap.add_argument("--spp-per-device", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--compare-plain", action="store_true",
+        help="also measure the UNSHARDED fast.render_tile dispatch at "
+        "the same total spp on this process's first device: the "
+        "sharded-dispatch overhead (mesh + shard_map + psum machinery "
+        "at N=1) must stay <5%% — the single-chip evidence this "
+        "environment can produce for the scaling-efficiency target "
+        "(real >=85%% multi-chip efficiency needs a pod slice; see "
+        "README for the copy-paste pod invocation)")
     args = ap.parse_args()
 
     if args.host_devices:
@@ -105,9 +114,45 @@ def main():
         print(f"N={r['n']:2d}: {r['rays_per_s']/1e6:7.2f} Mrays/s  "
               f"efficiency {r['efficiency']*100:5.1f}%")
 
+    plain_row = None
+    if args.compare_plain:
+        from cudavolumerenderer_tpu.models import fast
+
+        spp = args.spp_per_device  # N=1 workload
+        times = []
+        for rep in range(args.reps + 1):
+            t0 = time.time()
+            img, nr = fast.render_tile(
+                scene, camera, settings, (res, res),
+                jnp.zeros(2, jnp.float32), (res, res), spp,
+                1000 + rep, 0, two_level=True,
+            )
+            _ = float(jnp.asarray(img).sum())
+            dt = time.time() - t0
+            if rep:
+                times.append(dt)
+        plain_s = min(times)
+        sharded_s = rows[0]["s"]
+        overhead = sharded_s / plain_s - 1.0
+        plain_row = {
+            "plain_s": plain_s, "sharded_n1_s": sharded_s,
+            "sharded_dispatch_overhead": overhead,
+        }
+        print(f"plain dispatch: {plain_s*1e3:.1f} ms vs sharded N=1 "
+              f"{sharded_s*1e3:.1f} ms -> overhead "
+              f"{overhead*100:+.1f}% (target <5%)")
+
     out = {"platform": jax.default_backend(), "n_devices": n_total,
            "res": res, "spp_per_device": args.spp_per_device,
            "rows": rows,
+           "plain_comparison": plain_row,
+           "pod_invocation": (
+               "per host: python benchmarks/scaling_efficiency.py "
+               "--json-out benchmarks/results_scaling_tpu_pod.json "
+               "(jax.distributed init via "
+               "cudavolumerenderer_tpu.parallel.mesh.initialize_distributed on TPU pods; all "
+               "hosts run the same command, efficiency rows cover the "
+               "global device count)"),
            "note": ("virtual CPU devices share physical cores: "
                     "efficiency below ~100% on CPU bounds collective+"
                     "host overhead, not interconnect scaling"

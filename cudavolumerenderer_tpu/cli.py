@@ -104,15 +104,23 @@ def build_parser() -> argparse.ArgumentParser:
         "giant grids",
     )
     p.add_argument(
-        "--cascade-factor", type=int, default=2,
-        help="fastSK: cascade pool shrink factor",
+        "--cascade-factor", type=float, default=2,
+        help="fastSK: cascade pool shrink factor (may be fractional, "
+        "e.g. 1.5 — finer steps compact idle lanes out earlier near "
+        "full width at the cost of more compactions)",
     )
     p.add_argument(
         "--table-bits", type=int, default=32, choices=[32, 8, 4],
         help="fastSK: quantized packed density table (8/4 bits per "
-        "voxel; 4-8x smaller gathers; acceptance bias bounded by "
-        "1/(2^(bits+1)-2) of max_density; forced off under "
-        "--mitsuba-comparable)",
+        "voxel; 4-8x smaller gathers; REDUCED PRECISION — acceptance "
+        "bias bounded by 1/(2^(bits+1)-2) of max_density; ignored "
+        "under --mitsuba-comparable unless --allow-quantized)",
+    )
+    p.add_argument(
+        "--allow-quantized", action="store_true",
+        help="opt in to quantized density tables (--table-bits < 32) "
+        "while keeping --mitsuba-comparable trilinear filtering and "
+        "conventions; the estimator is reduced-precision",
     )
     p.add_argument(
         "--tail-single-level", action="store_true",
@@ -192,6 +200,7 @@ def config_from_args(args) -> Config:
         brick_major=args.brick_major,
         cascade_factor=args.cascade_factor,
         table_bits=args.table_bits,
+        allow_quantized=args.allow_quantized,
         tail_single_level=args.tail_single_level,
         tail_spec=args.tail_spec,
         spec_width=args.spec_width,

@@ -135,7 +135,9 @@ class Config:
     #: fastSK cascade pool shrink factor: 2 tracks the lane drain curve
     #: tighter than the round-1 default 4 (medical-class 7.46 vs 6.53
     #: Mrays/s)
-    cascade_factor: int = 2
+    #: may be fractional (1.5, 1.33): finer shrink steps raise
+    #: full-width occupancy at the cost of more compactions
+    cascade_factor: float = 2
     #: fastSK tail pools switch to single-level (global-majorant)
     #: tracking with tail_spec speculative steps per gather: narrow
     #: pools are floored by per-gather latency, and without brick
@@ -158,9 +160,18 @@ class Config:
     #: fastSK quantized packed density table: 32 (off), 8 or 4 bits
     #: per voxel packed into uint32 rows — shrinks the big-table gather
     #: 4-8x to jump XLA's size-gated rate class (micro_pgather).
-    #: Acceptance-probability bias <= 1/(2^(bits+1)-2) of max_density;
-    #: forced to 32 under mitsuba_comparable settings.
+    #: REDUCED PRECISION: acceptance-probability bias up to
+    #: max_density/(2^(bits+1)-2) per tap (~3.3% at 4 bits) — coarser
+    #: than the reference texture path's 9-bit interpolation weights.
+    #: Ignored (forced to 32) under mitsuba_comparable settings unless
+    #: allow_quantized is set.
     table_bits: int = 32
+    #: explicit opt-in for quantized tables under mitsuba_comparable:
+    #: keeps trilinear (stochastic) filtering and every other
+    #: comparability convention, trading density precision for the
+    #: smaller-table gather rate class.  Off by default so the default
+    #: estimator stays full-precision.
+    allow_quantized: bool = False
     #: fastSK persistent Pallas tail kernel (ops/pallas/tailpk.py):
     #: in-VMEM tracking + scatter + RR once the pending count fits
     #: tail_pk_width rows; requires const/affine albedo
@@ -170,6 +181,20 @@ class Config:
     settings: RenderSettings = dataclasses.field(
         default_factory=lambda: RenderSettings.from_flags(True)
     )
+
+    @property
+    def effective_table_bits(self) -> int:
+        """The table precision the render actually runs at.
+
+        Single gate shared by the production factory (make_kernel_fn)
+        and the benchmark drivers, so a benched configuration is always
+        reachable through the CLI: quantized tables (table_bits < 32)
+        engage only when mitsuba_comparable is off OR the user passed
+        the explicit --allow-quantized opt-in (which keeps trilinear
+        filtering and all other comparability conventions)."""
+        if self.settings.mitsuba_comparable and not self.allow_quantized:
+            return 32
+        return self.table_bits
 
     @property
     def tiling(self) -> TilingConfig:

@@ -1,6 +1,13 @@
 """brickSK: sorted brick-wavefront scheduler around the Pallas kernel.
 
-The flagship TPU scheduler.  Fuses three ideas the reference explores
+STATUS: superseded design study (PARITY.md §2.5, PERF.md round-3) —
+fastSK (models/fast.py) is the shipping scheduler.  Measured ~0.15
+Mrays/s: per-round argsort/permute and early-wavefront brick
+fragmentation dominate; kept fully implemented + tested behind
+`--kernel brickSK` as the record of why the binned-VMEM-gather road
+loses on this hardware.
+
+Fuses three ideas the reference explores
 separately into the shape this hardware wants:
 
   * sortingSK's spatial reordering (SortingVolPTsk_kernel.cuh) becomes a

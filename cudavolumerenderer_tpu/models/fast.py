@@ -363,14 +363,22 @@ def _stochastic_tap(coord, f_bits):
 
 
 def _cascade_widths(
-    n_lanes: int, factor: int = _CASCADE_FACTOR, min_width: int = _MIN_WIDTH
+    n_lanes: int, factor: float = _CASCADE_FACTOR,
+    min_width: int = _MIN_WIDTH,
 ):
-    """Pool widths for the tail-compaction cascade."""
+    """Pool widths for the tail-compaction cascade.
+
+    factor may be fractional (e.g. 1.5): finer shrink steps compact
+    idle lanes out EARLIER near full width, where most rows live (the
+    medical-class full-width stage is 83% of rows at busy 0.52 —
+    PERF.md round-3 anatomy), at the cost of more compactions."""
+    import math  # noqa: PLC0415
+
     widths = [n_lanes]
     while widths[-1] > min_width:
         nxt = max(
             min_width,
-            -(-widths[-1] // factor // 256) * 256,
+            int(math.ceil(widths[-1] / float(factor) / 256.0)) * 256,
         )
         if nxt >= widths[-1]:
             break

@@ -1,5 +1,10 @@
 """fastQ: queue-fed fast wavefront with deferred splat flush.
 
+STATUS: design study, not the shipping path (PARITY.md §2.5) — wins
+lane *utilization* (42%→69% on CPU) but loses wall-clock on TPU to
+fastSK's cascade compaction (PERF.md round-1); kept behind
+`--kernel fastQ`.
+
 Addresses the one weakness of fastSK's lane-pinned design: the straggler
 tail (a lane serializes all samples of its pixel, so the slowest pixel
 bounds the render; measured lane utilization ~33%).  fastQ restores the

@@ -12,6 +12,7 @@ periodic frame dumps (per BASELINE.json).
 
 from __future__ import annotations
 
+import collections
 from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -35,8 +36,15 @@ _BATCHABLE = frozenset({
 #: module-level batched-dispatch cache, keyed by every config value the
 #: computation depends on (see _batched_cache_key): a per-instance
 #: cache re-traces each trial's fresh renderer, and a re-trace is a
-#: full remote recompile on the axon toolchain
-_BATCHED_FN_CACHE = {}
+#: full remote recompile on the axon toolchain.  LRU-bounded so long
+#: config sweeps don't accumulate jitted executables without limit.
+_BATCHED_FN_CACHE: collections.OrderedDict = collections.OrderedDict()
+_BATCHED_FN_CACHE_CAP = 64
+
+
+def clear_batched_cache() -> None:
+    """Explicit hook for sweep drivers to drop compiled dispatches."""
+    _BATCHED_FN_CACHE.clear()
 
 
 def _tile_array(
@@ -230,7 +238,7 @@ class ProgressiveTiledRenderer:
         return (
             c.kernel, self.settings, self.tile_dim, c.resolution,
             c.n_tiles, spp, c.two_level, c.lanes_per_pixel, c.defer_ggx,
-            c.brick_major, c.cascade_factor, c.table_bits,
+            c.brick_major, c.cascade_factor, c.effective_table_bits,
             c.tail_single_level, c.tail_spec, c.spec_width, c.min_width,
             c.tail_bricks, c.tail_pallas, c.tail_pk_width,
             c.tail_pk_steps, c.regeneration_level, c.n_lanes,
@@ -245,6 +253,7 @@ class ProgressiveTiledRenderer:
         key = self._batched_cache_key(spp)
         fn = _BATCHED_FN_CACHE.get(key)
         if fn is not None:
+            _BATCHED_FN_CACHE.move_to_end(key)
             return fn
         import jax
 
@@ -300,6 +309,8 @@ class ProgressiveTiledRenderer:
 
         fn = jax.jit(batched)
         _BATCHED_FN_CACHE[key] = fn
+        while len(_BATCHED_FN_CACHE) > _BATCHED_FN_CACHE_CAP:
+            _BATCHED_FN_CACHE.popitem(last=False)
         return fn
 
     def _render_all_tiles_batched(self, spp: int) -> None:
@@ -351,8 +362,7 @@ def make_kernel_fn(config: Config):
                 tail_pallas=config.tail_pallas,
                 tail_pk_width=config.tail_pk_width,
                 tail_pk_steps=config.tail_pk_steps,
-                table_bits=(32 if config.settings.mitsuba_comparable
-                            else config.table_bits),
+                table_bits=config.effective_table_bits,
             )
         return fsk
     if k == Kernel.BRICK_SK:

@@ -1,5 +1,10 @@
 """tailPK: persistent Pallas tail kernel for the fastSK cascade.
 
+STATUS: superseded design study (PARITY.md §2.5, PERF.md round-3) —
+measured 5.2-5.7 Mrays/s in composition vs 9.4-9.5 for the chained
+XLA tail pools (service-round economics); kept correct + tested
+behind `--tail-pallas` as the scaffold for an in-kernel-DMA variant.
+
 The cascade's narrow tail pools are latency-bound: a handful of deep
 RR-surviving paths step once per XLA while-iteration at a fixed
 ~0.2 ms floor (two serialized small HBM gathers plus dozens of tiny

@@ -1,5 +1,9 @@
 """Pallas TPU tracking kernel: brick-binned Woodcock stepping.
 
+STATUS: superseded design study (PARITY.md §2.5) — the performance
+core of brickSK, which measured well below fastSK (PERF.md round-1/3);
+kept tested as the record of the Mosaic dynamic_gather design space.
+
 The performance core of the brickSK scheduler (models/brick.py) — the
 TPU-ISA re-expression of the reference's hot loop (Utilities.cuh:134-155)
 plus sortingSK's coherence idea (SortingVolPTsk_kernel.cuh) pushed to its

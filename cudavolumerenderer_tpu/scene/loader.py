@@ -6,7 +6,7 @@ from __future__ import annotations
 from typing import Tuple
 
 from ..config import Config, SceneType
-from ..ops.camera import Camera, make_camera
+from ..ops.camera import Camera
 from .mhd import load_mhd_scene
 from .raw_builder import load_raw_scene
 from .types import Scene
@@ -35,19 +35,30 @@ def load_scene(config: Config) -> Tuple[Scene, Camera]:
     else:
         raise ValueError(f"unhandled scene type {stype}")
 
-    # Resolution override re-derives the camera fov aspect
-    # (reference: ConfigParser.cpp:136-151 + Camera::setResolution).
     w, h = config.resolution
-    fov_x = _fov_x_of(camera)
-    camera = make_camera(
-        w, h, fov_x,
-        position=tuple(float(v) for v in camera.inv_view[:, 3]),
-        mitsuba_comparable=config.settings.mitsuba_comparable,
-    )
-    return scene, camera
+    return scene, override_resolution(camera, w, h)
 
 
-def _fov_x_of(camera: Camera) -> float:
+def override_resolution(camera: Camera, w: int, h: int) -> Camera:
+    """Re-derive ONLY the fov aspect for a resolution override
+    (reference: ConfigParser.cpp:136-151 + Camera::setResolution).
+
+    The pose (inv_view: orientation + position) is preserved, so a
+    loader that returns a posed look-at camera keeps its orientation."""
     import math
 
-    return math.degrees(2.0 * math.atan(float(camera.raster_to_view[0])))
+    import jax.numpy as jnp
+    import numpy as np
+
+    fov_x = math.degrees(
+        2.0 * math.atan(float(camera.raster_to_view[0]))
+    )
+    fov_y = (float(h) / float(w)) * fov_x
+    r2v = np.array(
+        [
+            math.tan(fov_x * math.pi / 360.0),
+            math.tan(fov_y * math.pi / 360.0),
+        ],
+        np.float32,
+    )
+    return camera._replace(raster_to_view=jnp.asarray(r2v))

@@ -49,6 +49,32 @@ class TestParsing:
         with pytest.raises(ValueError, match="naiveSK"):
             Kernel.from_name("bogus")
 
+    def test_quantized_table_gate(self):
+        """table_bits < 32 under mitsuba_comparable needs the explicit
+        --allow-quantized opt-in; the opt-in keeps trilinear filtering
+        (ADVICE r4: quantized champions must be CLI-reachable through
+        the production gate)."""
+        args = cli.build_parser().parse_args(["s.raw", "--table-bits", "4"])
+        config = cli.config_from_args(args)
+        assert config.effective_table_bits == 32
+
+        args = cli.build_parser().parse_args(
+            ["s.raw", "--table-bits", "4", "--allow-quantized"]
+        )
+        config = cli.config_from_args(args)
+        assert config.effective_table_bits == 4
+        # comparability conventions stay: trilinear, not nearest
+        assert config.settings.mitsuba_comparable
+        assert config.settings.interpolation == "trilinear"
+
+        # non-comparable mode never needed the opt-in
+        args = cli.build_parser().parse_args(
+            ["s.raw", "--table-bits", "8",
+             "--mitsuba-comparable", "false"]
+        )
+        config = cli.config_from_args(args)
+        assert config.effective_table_bits == 8
+
 
 class TestEndToEnd:
     def test_batch_render_writes_outputs(self, tmp_path):

@@ -311,17 +311,72 @@ class TestFusedReplay:
                 scene, settings, o0, d0, rng, s_lane, g_lane, True,
                 zd, za, tables, fused=fused,
             )
-        # everything the estimator and gradients depend on must be
-        # bit-equal; the final (dead-lane) positions may differ by an
-        # ulp from XLA fma reassociation across the two loop structures
-        for field in ("radiance", "throughput", "d_density", "d_albedo"):
+        # per-lane quantities (radiance/throughput) are order-invariant
+        # within a lane and must be bit-equal; the cotangent buffers
+        # accumulate the SAME per-lane contributions but the fused and
+        # nested replays partition them into different .at[].add calls
+        # (per-iteration vs per-bounce), so float accumulation grouping
+        # can differ when multiple lanes hit one voxel — those get a
+        # tight allclose, not bit-equality (ADVICE r4)
+        for field in ("radiance", "throughput"):
             a = np.asarray(getattr(outs[False], field))
             b = np.asarray(getattr(outs[True], field))
             np.testing.assert_array_equal(a, b, err_msg=field)
+        for field in ("d_density", "d_albedo"):
+            a = np.asarray(getattr(outs[False], field))
+            b = np.asarray(getattr(outs[True], field))
+            np.testing.assert_allclose(
+                a, b, rtol=1e-6, atol=1e-6, err_msg=field
+            )
         for field in ("o", "d"):
             a = np.asarray(getattr(outs[False], field))
             b = np.asarray(getattr(outs[True], field))
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=field)
+
+    def test_cascade_replay_matches_uncascaded(self):
+        """The cascaded replay (shrinking pools + lane-id-preserving
+        compaction, round 5) must reproduce the single-pool fused
+        replay: per-lane draws travel with the lane through
+        compaction, so radiance/throughput are bit-identical; the
+        cotangent buffers see different scatter partitions (per-pool
+        vs one pool) and get a tight allclose.  min_width is forced
+        tiny so several compactions actually happen at test size."""
+        from cudavolumerenderer_tpu.models.differentiable import (
+            _build_brick_tab,
+            _lane_setup,
+            _replay_2l_fused,
+        )
+
+        density, albedo = grids()
+        settings = settings_nr(max_len=12)
+        scene = SPEC.build(density, albedo)
+        tables = _build_brick_tab(density)
+        cam_obj = CAM.build()
+        n_lanes, image_id, o0, d0, rng = _lane_setup(
+            cam_obj, RES, 4, 123
+        )
+        zd = jnp.zeros((density.size,), jnp.float32)
+        za = jnp.zeros((density.size, 4), jnp.float32)
+        s_lane = jnp.ones((n_lanes,), jnp.float32) * 0.5
+        g_lane = jnp.ones((n_lanes, 3), jnp.float32) * 0.25
+        outs = {}
+        for casc in (False, True):
+            outs[casc] = _replay_2l_fused(
+                scene, settings, o0, d0, rng, s_lane, g_lane, True,
+                zd, za, tables, cascade=casc, min_width=64,
+            )
+        for field in ("radiance", "throughput"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs[False], field)),
+                np.asarray(getattr(outs[True], field)),
+                err_msg=field,
+            )
+        for field in ("d_density", "d_albedo", "o", "d"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs[False], field)),
+                np.asarray(getattr(outs[True], field)),
+                rtol=1e-6, atol=1e-6, err_msg=field,
+            )
 
     def test_fused_replay_matches_nested_with_rr(self):
         from cudavolumerenderer_tpu.models.differentiable import (
