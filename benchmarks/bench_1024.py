@@ -73,7 +73,21 @@ def main() -> int:
     parser.add_argument("--table-bits", type=int, default=32,
                         choices=[32, 8, 4],
                         help="quantized packed density table: 4.3 GB "
-                        "f32 -> 1.07 GB (8) / 537 MB (4)")
+                        "f32 -> 1.07 GB (8) / 537 MB (4); routed "
+                        "through Config.effective_table_bits with the "
+                        "explicit opt-in (reduced precision)")
+    parser.add_argument(
+        "--max-bricks", type=int, default=None,
+        help="majorant-grid granularity cap (fast.pick_brick budget): "
+        "the 1024^3 majorant-quality sweep knob")
+    parser.add_argument(
+        "--brick-size", type=int, nargs=3, default=None,
+        help="explicit (bz by bx) brick size override")
+    parser.add_argument("--cascade-factor", type=float, default=2)
+    parser.add_argument(
+        "--bwd-no-cascade", action="store_true",
+        help="A/B: run the backward with the single-pool fused replay "
+        "(pre-round-5) instead of the cascaded one")
     args = parser.parse_args()
 
     import jax
@@ -103,14 +117,25 @@ def main() -> int:
     res = args.res
     camera = make_camera(res, res)
     settings = RenderSettings.from_flags(True)
+    from cudavolumerenderer_tpu.config import Config
+
+    eff_bits = Config(
+        table_bits=args.table_bits, allow_quantized=True,
+        settings=settings,
+    ).effective_table_bits
     kw = dict(
         scene=scene, camera=camera, settings=settings,
         tile_dim=(res, res), tile_offset=jnp.zeros(2, jnp.float32),
         full_resolution=(res, res), spp=args.iters,
         two_level=True, with_stats=True,
         brick_major=args.brick_major, defer_ggx=args.defer_ggx,
-        table_bits=args.table_bits, min_width=args.min_width,
+        table_bits=eff_bits, min_width=args.min_width,
+        cascade_factor=args.cascade_factor,
     )
+    if args.max_bricks is not None:
+        kw["max_bricks"] = args.max_bricks
+    if args.brick_size is not None:
+        kw["brick_size"] = tuple(args.brick_size)
     if not args.no_fwd:
         out = fast.render_tile(seed=1, path_id_base=0, **kw)
         _ = float(out[0].sum())  # sync (block_until_ready lies via tunnel)
@@ -118,7 +143,10 @@ def main() -> int:
             float(out[1]), float(out[2]), float(out[3])
         )
         stage_rows = [float(x) for x in out[4]]
-        widths = fast._cascade_widths(res * res)  # render used defaults
+        widths = fast._cascade_widths(
+            res * res, args.cascade_factor,
+            args.min_width or fast._default_min_width(),
+        )
         print(
             f"stats: rays={n_rays:.0f} rows={n_rows:.0f} "
             f"busy={n_busy / max(n_rows, 1):.3f} "
@@ -147,11 +175,17 @@ def main() -> int:
         # backprop; d_density is a second 4.3 GB grid).
         import jax
 
+        from cudavolumerenderer_tpu.models import differentiable
         from cudavolumerenderer_tpu.models.differentiable import (
             CameraSpec,
             SceneSpec,
             render_diff,
         )
+
+        if args.bwd_no_cascade:
+            differentiable.REPLAY_CASCADE = False
+            print("bwd: cascade DISABLED (single-pool fused replay)",
+                  flush=True)
 
         bres = args.bwd_res or args.res // 4
         bspp = args.bwd_spp

@@ -52,18 +52,22 @@ def main() -> int:
     camera = make_camera(res, res)
     settings = RenderSettings.from_flags(True)
 
-    # busy-fraction + per-stage diagnostic (one run with stats)
+    # busy-fraction + per-stage diagnostic (one run with stats) at the
+    # CHAMPION config (b8+minw64+q4) — the receipts for the round-5
+    # ceiling analysis
+    stats_kw = dict(max_bricks=512, min_width=64, table_bits=4,
+                    cascade_factor=2)
     out = None if args.no_stats else fast.render_tile(
         scene, camera, settings, (res, res), jnp.zeros(2, jnp.float32),
         (res, res), args.spp, 1, 0, two_level=True, with_stats=True,
-        cascade_factor=2,
+        **stats_kw,
     )
     if out is not None:
         n_rays, n_rows, n_busy = (
             float(out[1]), float(out[2]), float(out[3])
         )
         stage_rows = np.asarray(out[4])
-        widths = fast._cascade_widths(res * res, 2)
+        widths = fast._cascade_widths(res * res, 2, 64)
         print(
             f"stats(casc=2): rays={n_rays:.0f} rows={n_rows:.0f} "
             f"busy_frac={n_busy / max(n_rows, 1):.3f} "
@@ -169,6 +173,22 @@ def main() -> int:
          dict(**base, max_bricks=32768, min_width=32, table_bits=4)),
         ("b128k+minw64+qq4",
          dict(**base, max_bricks=131072, min_width=64, table_bits=4)),
+        # round-5: fractional cascade factors — the full-width stage is
+        # 83% of rows at busy ~0.52 (r3 anatomy); finer shrink steps
+        # near full width compact idle lanes out earlier.  Cost: one
+        # extra ~(N,31)-pack argsort compaction per extra stage
+        # (~3-9 ms at 262k lanes) vs saved idle full-width rows.
+        ("b8+minw64+q4+f15",
+         dict(cascade_factor=1.5, max_bricks=512, min_width=64,
+              table_bits=4)),
+        ("b8+minw64+q4+f133",
+         dict(cascade_factor=1.33, max_bricks=512, min_width=64,
+              table_bits=4)),
+        ("b8+minw64+q4+f125",
+         dict(cascade_factor=1.25, max_bricks=512, min_width=64,
+              table_bits=4)),
+        ("b8+minw64+f15",
+         dict(cascade_factor=1.5, max_bricks=512, min_width=64)),
     ]
     if args.only:
         sweep = [

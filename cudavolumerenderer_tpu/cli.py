@@ -117,6 +117,17 @@ def build_parser() -> argparse.ArgumentParser:
         "under --mitsuba-comparable unless --allow-quantized)",
     )
     p.add_argument(
+        "--boundary", default="aabb", choices=["aabb", "variable"],
+        help="medium boundary model: 'variable' = stochastic "
+        "density-isosurface march with gradient shading normals "
+        "(reference Medium.h VariableBoundary; integrator-family "
+        "kernels only)",
+    )
+    p.add_argument(
+        "--boundary-threshold", type=float, default=1e-8,
+        help="gradient-magnitude threshold for --boundary variable",
+    )
+    p.add_argument(
         "--allow-quantized", action="store_true",
         help="opt in to quantized density tables (--table-bits < 32) "
         "while keeping --mitsuba-comparable trilinear filtering and "
@@ -209,7 +220,11 @@ def config_from_args(args) -> Config:
         tail_pallas=args.tail_pallas,
         tail_pk_width=args.tail_pk_width,
         tail_pk_steps=args.tail_pk_steps,
-        settings=RenderSettings.from_flags(args.mitsuba_comparable),
+        settings=RenderSettings.from_flags(
+            args.mitsuba_comparable,
+            boundary=args.boundary,
+            boundary_threshold=args.boundary_threshold,
+        ),
     )
     if config.output_name is None:
         config.output_name = config.to_string()

@@ -913,9 +913,16 @@ def _replay_2l_fused(scene, settings, o0, d0, rng0, s_lane, g_lane,
     )
 
 
+#: default for the cascaded replay (benchmark drivers may flip this for
+#: A/B runs against the single-pool fused replay)
+REPLAY_CASCADE: bool = True
+
+
 def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
             d_density0, d_albedo0, tables=None, fused=True,
-            cascade=True):
+            cascade=None):
+    if cascade is None:
+        cascade = REPLAY_CASCADE
     if tables is not None and fused:
         return _replay_2l_fused(
             scene, settings, o0, d0, rng0, s_lane, g_lane, record,

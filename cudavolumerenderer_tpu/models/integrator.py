@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import EPSILON
-from ..ops import aabb, ggx, math3, phase, woodcock
+from ..ops import aabb, ggx, gradient, math3, phase, woodcock
 from ..ops.grid import sample
 from ..ops.rng import RngState, next_float
 from ..scene.types import RenderSettings, Scene
@@ -83,6 +83,140 @@ def boundary_event(scene, settings, normal, o_bound, d, tput, rng, mask):
     return o_out, d_out, tput_out, rng
 
 
+#: march-iteration cap (reference: max_iterations, Medium.h:62 — the
+#: reference uses 100000; expected march length is ~2·extent/min_step
+#: iterations, so 4096 is already far past any non-degenerate path)
+_VB_MAX_ITERS = 4096
+
+
+def variable_boundary_adjust(
+    scene: Scene, settings: RenderSettings, o, d, isect: aabb.Isect,
+    rng: RngState, active,
+):
+    """Stochastic density-isosurface boundary search (reference:
+    HeterogeneousMediumWithVariableBoundary::intersect, Medium.h:56-107).
+
+    From the AABB hit point, march along the ray (inward when entering,
+    backward from the exit face when the origin is inside) in uniform
+    random steps of expected boundary_min_step/2 until the density
+    gradient magnitude exceeds boundary_threshold; the hit distance
+    moves there and the (negative) density gradient becomes the shading
+    normal.  A march that crosses the whole box finds no surface: the
+    lane reports no hit (environment escape) with inside_volume
+    flipped, exactly the reference's return-false branch.
+
+    Deviations from the dead reference code, documented like the g<0
+    phase fix: draws come from the lane's deterministic stream (the
+    reference seeds a fresh sequential RNG per call — not
+    shard-invariant), and the gradient normal is normalized before use
+    (the reference feeds the raw finite-difference vector to a frame
+    builder that assumes unit length).
+
+    Returns (isect', rng) with updates applied only on active lanes.
+    """
+    med = scene.medium
+    min_step = settings.boundary_min_step
+    thresh = settings.boundary_threshold
+    extent = med.box_max - med.box_min
+
+    sign = jnp.where(isect.inside_volume, -1.0, 1.0)
+    temp_d = sign[..., None] * d
+    temp_o0 = o + d * (isect.dist + EPSILON)[..., None]
+    isect2 = aabb.aabb_intersect(med.box_min, med.box_max, temp_o0, temp_d)
+    consider = jnp.logical_and(
+        jnp.logical_and(active, isect.hit), isect2.hit
+    )
+
+    def w2v(p):
+        return (p - med.box_min) / extent
+
+    temp_o_init = temp_o0 - (min_step + EPSILON) * temp_d
+    grad0 = gradient.gradient_cd(
+        med.density, w2v(temp_o_init), min_step, settings.interpolation
+    )
+
+    n = isect.dist.shape
+    zero = jnp.zeros(n, jnp.float32)
+
+    def below(grad):
+        return math3.norm(grad) < thresh
+
+    # carry: (running, iters, total, new_dist, temp_o, grad,
+    #         no_hit, keep_orig, rng)
+    def cond(c):
+        return jnp.any(c[0])
+
+    def body(c):
+        (running, iters, total, new_dist, temp_o, grad, no_hit,
+         keep_orig, rng_c) = c
+        u, rng_c = next_float(rng_c, running)
+        s = u * min_step
+        total_n = jnp.where(running, total + s, total)
+        nd = jnp.where(running, new_dist + sign * s, new_dist)
+        # marched out the near side: keep the original AABB result
+        ko = jnp.logical_and(running, nd < 0.0)
+        keep_orig = jnp.logical_or(keep_orig, ko)
+        # marched across to the far boundary: no surface on this segment
+        nh = jnp.logical_and(
+            running,
+            jnp.logical_and(jnp.logical_not(ko), total_n > isect2.dist),
+        )
+        no_hit = jnp.logical_or(no_hit, nh)
+        running = jnp.logical_and(
+            running, jnp.logical_not(jnp.logical_or(ko, nh))
+        )
+        temp_o = jnp.where(running[..., None], temp_o + temp_d * s[..., None],
+                           temp_o)
+        grad_new = gradient.gradient_cd(
+            med.density, w2v(temp_o), min_step, settings.interpolation
+        )
+        grad = jnp.where(running[..., None], grad_new, grad)
+        iters = iters + 1
+        keep_orig = jnp.logical_or(
+            keep_orig, jnp.logical_and(running, iters >= _VB_MAX_ITERS)
+        )
+        running = jnp.logical_and(
+            running,
+            jnp.logical_and(below(grad), iters < _VB_MAX_ITERS),
+        )
+        return (running, iters, total_n, nd, temp_o, grad, no_hit,
+                keep_orig, rng_c)
+
+    running0 = jnp.logical_and(consider, below(grad0))
+    out = jax.lax.while_loop(
+        cond, body,
+        (running0, jnp.int32(0), zero, isect.dist, temp_o_init, grad0,
+         jnp.zeros(n, bool), jnp.zeros(n, bool), rng),
+    )
+    (_, _, total, new_dist, _, grad, no_hit, keep_orig, rng) = out
+
+    # surface found with a real march: move the hit there, normal from
+    # the gradient (total == 0 keeps the AABB face normal, reference
+    # Medium.h:101-104)
+    found = jnp.logical_and(
+        consider,
+        jnp.logical_not(jnp.logical_or(no_hit, keep_orig)),
+    )
+    moved = jnp.logical_and(
+        found, jnp.logical_and(new_dist > 0.0, total > 0.0)
+    )
+    g_unit = math3.normalize(grad)
+    dist_out = jnp.where(moved, new_dist, isect.dist)
+    normal_out = jnp.where(moved[..., None], g_unit, isect.normal)
+    hit_out = jnp.logical_and(
+        isect.hit, jnp.logical_not(jnp.logical_and(consider, no_hit))
+    )
+    inside_out = jnp.where(
+        jnp.logical_and(consider, no_hit),
+        jnp.logical_not(isect.inside_volume),
+        isect.inside_volume,
+    )
+    return aabb.Isect(
+        dist=dist_out, normal=normal_out, inside_volume=inside_out,
+        hit=hit_out,
+    ), rng
+
+
 def russian_roulette(tput, alive, rng, mask):
     """Shared Russian roulette (reference: NaiveVolPTsk_kernel.cuh:75-84):
     p = min(1, max(throughput.rgb)); kill with 1-p, else divide.  Draws
@@ -127,6 +261,12 @@ def bounce_step(
     n_rays = state.n_rays + jnp.sum(alive.astype(jnp.float32))
 
     isect = aabb.aabb_intersect(med.box_min, med.box_max, o, d)
+    if settings.boundary == "variable":
+        # density-isosurface boundary + gradient shading normal
+        # (reference: Medium.h:56-107) — static switch, off by default
+        isect, rng = variable_boundary_adjust(
+            scene, settings, o, d, isect, rng, alive
+        )
 
     # --- miss: escape to the constant environment -------------------------
     miss = jnp.logical_and(alive, jnp.logical_not(isect.hit))

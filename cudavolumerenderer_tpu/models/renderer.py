@@ -346,6 +346,16 @@ def make_kernel_fn(config: Config):
     """Scheduler dispatch (reference: RendererFactory::createRenderer's
     6-kernel matrix, RendererFactory.h:43-113)."""
     k = config.kernel
+    if (
+        config.settings.boundary == "variable"
+        and k in (Kernel.FAST_SK, Kernel.FAST_Q, Kernel.BRICK_SK)
+    ):
+        raise ValueError(
+            "--boundary variable is supported by the integrator-family "
+            "schedulers (naiveSK/naiveMK/regenerationSK/streamingSK/"
+            "streamingMK/sortingSK); fastSK/fastQ/brickSK fused tables "
+            "keep the AABB boundary"
+        )
     if k == Kernel.FAST_SK:
         def fsk(*args):
             return fast.render_tile(

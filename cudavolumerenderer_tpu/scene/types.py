@@ -97,6 +97,22 @@ class RenderSettings:
     interpolation: str = "trilinear"
     #: count traced rays (reference: RAYS_STATISTICS, Defines.h:49-50).
     rays_statistics: bool = True
+    #: medium boundary model: 'aabb' — the box faces (every reference
+    #: factory configuration); 'variable' — the stochastic
+    #: density-isosurface march of HeterogeneousMediumWithVariableBoundary
+    #: (reference: Medium.h:55-107 + Gradient.h, present in source but
+    #: never instantiated there): the boundary event fires where the
+    #: density gradient magnitude first exceeds boundary_threshold, with
+    #: the (negative) density gradient as shading normal.  Supported by
+    #: the integrator-family schedulers (naive/regeneration/streaming/
+    #: sorting/MK); fastSK's fused tables keep the AABB boundary.
+    boundary: str = "aabb"
+    #: gradient-magnitude threshold for the variable boundary
+    #: (reference: density_threshold, Medium.h:17)
+    boundary_threshold: float = 1e-8
+    #: expected march step, world units (reference: MIN_STEP uniform
+    #: step scale, Medium.h:87)
+    boundary_min_step: float = 0.1
 
     @classmethod
     def from_flags(cls, mitsuba_comparable: bool = True, **kw) -> "RenderSettings":
