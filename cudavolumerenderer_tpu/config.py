@@ -67,7 +67,7 @@ class SceneType(enum.Enum):
             return cls.MITSUBA_XML
         if ext == ".vdb":
             return cls.VDB
-        if ext == ".mhd":
+        if ext in (".mhd", ".mha"):
             return cls.MHD
         if ext == ".npz":
             return cls.NPZ

@@ -51,8 +51,31 @@ def read_mhd_header(path: str) -> dict:
 
 
 def read_mhd(path: str) -> np.ndarray:
-    """Read a .mhd volume into a float32 (Z, Y, X) array."""
-    header = read_mhd_header(path)
+    """Read a .mhd/.mha volume into a float32 (Z, Y, X) array.
+
+    .mha (single-file MetaImage, ``ElementDataFile = LOCAL``) keeps the
+    binary payload right after that header line — the format the
+    reference's dead MhaSceneBuilder read through VTK (reference:
+    implementation/src/MhaSceneBuilder.h:32-51, #ifdef MHA_SUPPORT);
+    here it is ~15 lines on the same pure-NumPy path as .mhd."""
+    with open(path, "rb") as f:
+        blob_all = f.read()
+    header = {}
+    data_offset = None
+    pos = 0
+    while pos < len(blob_all):
+        nl = blob_all.find(b"\n", pos)
+        if nl < 0:
+            nl = len(blob_all)
+        line = blob_all[pos:nl].decode("latin-1", errors="replace")
+        pos = nl + 1
+        if "=" not in line:
+            continue
+        key, value = line.split("=", 1)
+        header[key.strip()] = value.strip()
+        if key.strip() == "ElementDataFile":
+            data_offset = pos  # binary payload starts here for LOCAL
+            break
     dims = [int(v) for v in header["DimSize"].split()]
     if len(dims) != 3:
         raise ValueError(f"{path!r}: only 3-D volumes supported")
@@ -62,11 +85,13 @@ def read_mhd(path: str) -> np.ndarray:
     compressed = header.get("CompressedData", "False") == "True"
     datafile = header["ElementDataFile"]
     if datafile == "LOCAL":
-        raise ValueError(f"{path!r}: LOCAL element data not supported")
-    raw_path = os.path.join(os.path.dirname(os.path.abspath(path)), datafile)
-
-    with open(raw_path, "rb") as f:
-        blob = f.read()
+        blob = blob_all[data_offset:]
+    else:
+        raw_path = os.path.join(
+            os.path.dirname(os.path.abspath(path)), datafile
+        )
+        with open(raw_path, "rb") as f:
+            blob = f.read()
     if compressed:
         blob = zlib.decompress(blob)
     data = np.frombuffer(blob, dtype, nx * ny * nz)

@@ -124,6 +124,35 @@ class TestMhd:
         back = read_mhd(str(tmp_path / "t.mhd"))
         np.testing.assert_array_equal(back, volume.astype(np.float32))
 
+    def test_mha_local_payload(self, tmp_path):
+        """.mha single-file MetaImage: binary data follows the
+        'ElementDataFile = LOCAL' header line (the dead MhaSceneBuilder's
+        format, reference MhaSceneBuilder.h:32-51)."""
+        rs = np.random.RandomState(5)
+        volume = (rs.rand(5, 4, 3) * 4000).astype(np.uint16)
+        header = (
+            "ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+            "BinaryDataByteOrderMSB = False\nDimSize = 3 4 5\n"
+            "ElementType = MET_USHORT\nElementDataFile = LOCAL\n"
+        )
+        (tmp_path / "t.mha").write_bytes(
+            header.encode() + volume.tobytes()
+        )
+        back = read_mhd(str(tmp_path / "t.mha"))
+        np.testing.assert_array_equal(back, volume.astype(np.float32))
+        # compressed payload too
+        (tmp_path / "c.mha").write_bytes(
+            header.replace(
+                "BinaryData = True\n",
+                "BinaryData = True\nCompressedData = True\n",
+            ).encode() + zlib.compress(volume.tobytes())
+        )
+        back = read_mhd(str(tmp_path / "c.mha"))
+        np.testing.assert_array_equal(back, volume.astype(np.float32))
+        # extension auto-detection routes .mha to the MHD builder
+        from cudavolumerenderer_tpu.config import SceneType
+        assert SceneType.detect("x.mha") == SceneType.MHD
+
     def test_scene_semantics(self, tmp_path):
         volume = np.linspace(0, 255, 4 * 4 * 4).astype(np.uint8)
         (tmp_path / "s.raw").write_bytes(volume.tobytes())
