@@ -121,6 +121,28 @@ class TestFast:
         b, _ = fast.render_tile(*args)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_fractional_cascade_factor_bit_exact(self):
+        """Fractional shrink factors (round 5) change only WHEN lanes
+        compact, never a lane's draw stream: images are bit-identical
+        across factors."""
+        scene = blob_scene()
+        args = make_args(scene, 16, 4)
+        ref, _ = fast.render_tile(*args, cascade_factor=2, min_width=32)
+        for f in (1.5, 1.25):
+            img, _ = fast.render_tile(
+                *args, cascade_factor=f, min_width=32
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref), np.asarray(img), err_msg=str(f)
+            )
+
+    def test_fractional_cascade_widths_monotone(self):
+        for f in (1.25, 1.33, 1.5, 2, 4):
+            w = fast._cascade_widths(262144, f, 128)
+            assert w[0] == 262144 and w[-1] >= 128
+            assert all(a > b for a, b in zip(w, w[1:])), (f, w)
+            assert all(x % 256 == 0 or x == 128 for x in w[1:]), (f, w)
+
 
 class TestTwoLevel:
     def test_furnace_exact(self):
