@@ -118,6 +118,12 @@ def main() -> int:
     parser.add_argument(
         "--only", nargs="*", default=None,
         help="run only configs whose name contains any substring")
+    parser.add_argument(
+        "--champion", action="store_true",
+        help="apply the tuned per-class champion knobs (q4 packed "
+        "tables via the --allow-quantized production gate, min_width "
+        "64, and the medical-class b8 brick cap + fractional cascade) "
+        "— REDUCED PRECISION rows, labeled as such in the JSON")
     args = parser.parse_args()
 
     from cudavolumerenderer_tpu import cli
@@ -149,12 +155,21 @@ def main() -> int:
                 if any(s_ in r[0] for s_ in args.only)]
     results = {}
     for name, path, kernel, res, iters, tiles, ref in rows:
+        champ = {}
+        if args.champion:
+            champ = dict(
+                table_bits=4, allow_quantized=True, min_width=64,
+            )
+            if name.startswith("2_"):
+                # medical-class champion (PERF.md round-5 sweep)
+                champ.update(max_bricks=512, cascade_factor=1.25)
         config = Config(
             scene_file=path, kernel=kernel, iterations=iters,
             resolution=(res, res), n_tiles=tiles,
             trials=args.trials, output_name=os.path.join(tmp, name),
             two_level=True,
             settings=RenderSettings.from_flags(True),
+            **champ,
         )
         print(f"=== {name} ({path})", flush=True)
         r = cli.run_test(config)
@@ -169,6 +184,9 @@ def main() -> int:
             # measured under different tags are different workloads
             "scene_version": (
                 "r4-fov0.7" if name.startswith("4_") else "r3"
+            ),
+            "precision": (
+                "q4-reduced" if args.champion else "f32"
             ),
         }
         with open(args.out, "w") as f:

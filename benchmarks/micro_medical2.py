@@ -189,6 +189,16 @@ def main() -> int:
               table_bits=4)),
         ("b8+minw64+f15",
          dict(cascade_factor=1.5, max_bricks=512, min_width=64)),
+        # f125 measured 11.84 (> f15 11.68 > casc2 11.58): push finer
+        ("b8+minw64+q4+f120",
+         dict(cascade_factor=1.2, max_bricks=512, min_width=64,
+              table_bits=4)),
+        ("b8+minw64+q4+f115",
+         dict(cascade_factor=1.15, max_bricks=512, min_width=64,
+              table_bits=4)),
+        ("b8+minw64+q4+f110",
+         dict(cascade_factor=1.1, max_bricks=512, min_width=64,
+              table_bits=4)),
     ]
     if args.only:
         sweep = [

@@ -152,6 +152,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="fastSK: cascade bottom pool width",
     )
     p.add_argument(
+        "--max-bricks", type=int, default=None,
+        help="fastSK: two-level probe-table size cap (coarser bricks "
+        "= fewer brick-transit rows; 512 is the measured medical-class "
+        "optimum; default 65536)",
+    )
+    p.add_argument(
         "--tail-bricks", type=int, default=0,
         help="fastSK: finer brick granularity for tail pools (0=off)",
     )
@@ -216,6 +222,7 @@ def config_from_args(args) -> Config:
         tail_spec=args.tail_spec,
         spec_width=args.spec_width,
         min_width=args.min_width,
+        max_bricks=args.max_bricks,
         tail_bricks=args.tail_bricks,
         tail_pallas=args.tail_pallas,
         tail_pk_width=args.tail_pk_width,

@@ -157,6 +157,13 @@ class Config:
     min_width: Optional[int] = None
     #: finer tail-pool brick granularity (0 = same table as full width)
     tail_bricks: int = 0
+    #: fastSK two-level probe-table size cap: pick_brick halves the
+    #: brick grid until the count fits (fast.pick_brick).  Coarser
+    #: bricks (512 = 8^3 grid) trade majorant tightness for fewer
+    #: brick-transit rows — the measured medical-class optimum
+    #: (PERF.md round-4/5 sweeps: b8 beats the b32 default by ~5%);
+    #: None = fast.py's default (65536)
+    max_bricks: Optional[int] = None
     #: fastSK quantized packed density table: 32 (off), 8 or 4 bits
     #: per voxel packed into uint32 rows — shrinks the big-table gather
     #: 4-8x to jump XLA's size-gated rate class (micro_pgather).

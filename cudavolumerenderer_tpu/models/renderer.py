@@ -242,6 +242,7 @@ class ProgressiveTiledRenderer:
             c.tail_single_level, c.tail_spec, c.spec_width, c.min_width,
             c.tail_bricks, c.tail_pallas, c.tail_pk_width,
             c.tail_pk_steps, c.regeneration_level, c.n_lanes,
+            c.max_bricks,
         )
 
     def _get_batched_fn(self, spp: int):
@@ -373,6 +374,10 @@ def make_kernel_fn(config: Config):
                 tail_pk_width=config.tail_pk_width,
                 tail_pk_steps=config.tail_pk_steps,
                 table_bits=config.effective_table_bits,
+                **(
+                    {"max_bricks": config.max_bricks}
+                    if config.max_bricks is not None else {}
+                ),
             )
         return fsk
     if k == Kernel.BRICK_SK:
