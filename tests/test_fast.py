@@ -393,3 +393,26 @@ def test_packed_table_quantization_bounded():
                             path_id_base=0, table_bits=8, **common)
     am, bm = float(np.asarray(a).mean()), float(np.asarray(b).mean())
     assert abs(am - bm) / am < 0.01
+
+
+def test_max_bricks_config_plumbing():
+    """Config.max_bricks must reach fast.render_tile through the
+    production factory: the factory render with max_bricks=64 matches
+    a direct render_tile call with the same cap bit-for-bit, and
+    differs from the default-cap render's RNG consumption pattern only
+    statistically (both unbiased)."""
+    from cudavolumerenderer_tpu.config import Config, Kernel
+    from cudavolumerenderer_tpu.models.renderer import make_kernel_fn
+
+    scene = blob_scene()
+    camera = make_camera(16, 16)
+    settings = RenderSettings.from_flags(True)
+    common = (
+        scene, camera, settings, (16, 16),
+        jnp.zeros(2, jnp.float32), (16, 16), 4, 7, 0,
+    )
+    config = Config(kernel=Kernel.FAST_SK, two_level=True, max_bricks=64)
+    fn = make_kernel_fn(config)
+    a, _ = fn(*common)
+    b, _ = fast.render_tile(*common, two_level=True, max_bricks=64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
