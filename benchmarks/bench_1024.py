@@ -186,6 +186,9 @@ def main() -> int:
             differentiable.REPLAY_CASCADE = False
             print("bwd: cascade DISABLED (single-pool fused replay)",
                   flush=True)
+        if args.max_bricks is not None:
+            differentiable.DIFF_MAX_BRICKS = args.max_bricks
+            print(f"bwd: DIFF_MAX_BRICKS={args.max_bricks}", flush=True)
 
         bres = args.bwd_res or args.res // 4
         bspp = args.bwd_spp

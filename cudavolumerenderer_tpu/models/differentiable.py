@@ -151,6 +151,16 @@ def _trilerp_taps(grid_shape_zyx, box_min, box_max, p_world):
     return taps
 
 
+#: probe-table size cap for the differentiable pass's two-level tables
+#: (None = fast.py's default).  The round-5 forward sweep found coarse
+#: bricks (~51^3 voxels, max_bricks 8192) remove 40% of rows at 1024^3
+#: — the same transit-row economics apply to the replay.  Module-level
+#: because render_diff's custom_vjp signature is fixed; set it BEFORE
+#: the first traced call (the brick shape is baked at trace time, and
+#: fwd/bwd must agree — both read it through this function).
+DIFF_MAX_BRICKS = None
+
+
 def _build_brick_tab(density_data):
     """Two-level majorant tables for the differentiable pass: dilated
     per-brick majorants with multiplicative+additive *headroom* so the
@@ -159,7 +169,10 @@ def _build_brick_tab(density_data):
     plus the Chebyshev empty-space leap channel.  Majorants are
     stop-gradient by construction of the estimator."""
     dd = jax.lax.stop_gradient(density_data)
-    brick = fast.pick_brick(dd.shape)
+    brick = fast.pick_brick(
+        dd.shape,
+        *(() if DIFF_MAX_BRICKS is None else (DIFF_MAX_BRICKS,)),
+    )
     major = fast.brick_majorants(dd, brick)
     # generous headroom: the null score is -1/(maj - rho), so a tight
     # majorant (forward-optimal) makes the gradient variance explode
