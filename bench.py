@@ -47,6 +47,10 @@ def main() -> int:
         n_tiles=(1, 1),
         n_lanes=1 << 17,
         two_level=True,  # sparse-leap + cascade: best mode on all classes
+        # fractional cascade: finer pool shrink steps compact idle lanes
+        # out earlier (round-5 bucky sweep: 27.3 vs 25.2 Mrays/s at the
+        # default factor 2 — benchmarks/results_bucky_r5.json)
+        cascade_factor=1.25,
         settings=RenderSettings.from_flags(True),
     )
     renderer = create_renderer(scene, camera, config)

@@ -28,7 +28,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 
 def main():
