@@ -89,20 +89,35 @@ def main():
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
     rows = []
 
-    def run(mesh, spp, seed):
-        img, n_rays = render_sharded(
-            scene, camera, settings, (res, res), spp, seed, mesh,
-            kernel="fast", two_level=True,
-        )
-        return float(jnp.asarray(img).sum()), float(n_rays)
+    def make_run(mesh, spp):
+        """One jitted closure per mesh size, seed TRACED: render_sharded
+        constructs a fresh shard_map per call, so calling it eagerly
+        re-traces every rep (through the axon remote compiler that is a
+        ~40 s retrace, which an early version of this driver mistook
+        for dispatch overhead).  Under jit the shard_map is traced once
+        and reps hit the executable cache."""
+
+        @jax.jit
+        def fn(seed):
+            return render_sharded(
+                scene, camera, settings, (res, res), spp, seed, mesh,
+                kernel="fast", two_level=True,
+            )
+
+        def run(seed):
+            img, n_rays = fn(jnp.uint32(seed))
+            return float(jnp.asarray(img).sum()), float(n_rays)
+
+        return run
 
     for n in sizes:
         mesh = make_mesh(n)
         spp = args.spp_per_device * n
+        run = make_run(mesh, spp)
         times, rays = [], 0.0
         for rep in range(args.reps + 1):
             t0 = time.time()
-            _, nr = run(mesh, spp, seed=1000 + rep)
+            _, nr = run(seed=1000 + rep)
             dt = time.time() - t0
             if rep:
                 times.append(dt)
