@@ -97,6 +97,12 @@ def main() -> int:
         ("casc2+b2+q4", dict(**base, brick_size=(2, 2, 2),
                              table_bits=4)),
         ("casc2+q4+minw64", dict(**base, table_bits=4, min_width=64)),
+        # round-5: the fractional factor that won medical (f1.25) and
+        # bucky (+8%)
+        ("f125+q4+minw64", dict(cascade_factor=1.25, table_bits=4,
+                                min_width=64)),
+        ("f15+q4+minw64", dict(cascade_factor=1.5, table_bits=4,
+                               min_width=64)),
     ]
     if args.only:
         configs = [
