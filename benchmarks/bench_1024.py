@@ -189,6 +189,10 @@ def main() -> int:
         if args.max_bricks is not None:
             differentiable.DIFF_MAX_BRICKS = args.max_bricks
             print(f"bwd: DIFF_MAX_BRICKS={args.max_bricks}", flush=True)
+        if args.cascade_factor != 2:
+            differentiable.DIFF_CASCADE_FACTOR = args.cascade_factor
+            print(f"bwd: DIFF_CASCADE_FACTOR={args.cascade_factor}",
+                  flush=True)
 
         bres = args.bwd_res or args.res // 4
         bspp = args.bwd_spp

@@ -160,6 +160,11 @@ def _trilerp_taps(grid_shape_zyx, box_min, box_max, p_world):
 #: fwd/bwd must agree — both read it through this function).
 DIFF_MAX_BRICKS = None
 
+#: cascade pool shrink factor for the cascaded replay (fast.py
+#: semantics; may be fractional).  Same trace-time caveat as
+#: DIFF_MAX_BRICKS.
+DIFF_CASCADE_FACTOR = 2
+
 
 def _build_brick_tab(density_data):
     """Two-level majorant tables for the differentiable pass: dilated
@@ -940,6 +945,7 @@ def _replay(scene, settings, o0, d0, rng0, s_lane, g_lane, record,
         return _replay_2l_fused(
             scene, settings, o0, d0, rng0, s_lane, g_lane, record,
             d_density0, d_albedo0, tables, cascade=cascade,
+            cascade_factor=DIFF_CASCADE_FACTOR,
         )
     n = o0.shape[:-1]
     st = _ReplayState(
