@@ -201,6 +201,16 @@ class ProgressiveTiledRenderer:
         kernel launch per tile and degrades hard at small tiles (thesis
         Table 4.2: 98 s at 64x64 tiles); here the per-tile host
         round-trip disappears entirely."""
+        self.render_device(progress_callback)
+        return self.get_image()
+
+    def render_device(self, progress_callback=None) -> None:
+        """render() minus the final host image download: all dispatches
+        issued, image left device-resident (read it with get_image).
+        Benchmark protocol (cli.run_test, bench.py): fence on the
+        n_rays scalar readback and download the image outside the
+        timed region, as the reference's runTest times rendering apart
+        from image save (Main.cpp:64-97)."""
         self.init_rendering()
         if (
             len(self.tiles) > 1
@@ -208,7 +218,7 @@ class ProgressiveTiledRenderer:
             and self._batch_lanes_ok(self.config.iterations)
         ):
             self._render_all_tiles_batched(self.config.iterations)
-            return self.get_image()
+            return
         total = len(self.tiles) * self.config.iterations
         while not self.image_complete():
             self.run_iterations(spp=self._spp_per_launch())
@@ -216,7 +226,6 @@ class ProgressiveTiledRenderer:
                 progress_callback(
                     float(self.iterations_done.sum()) / total
                 )
-        return self.get_image()
 
     def _batch_lanes_ok(self, spp: int) -> bool:
         tw, th = self.tile_dim
