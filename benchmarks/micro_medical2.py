@@ -199,6 +199,14 @@ def main() -> int:
         ("b8+minw64+q4+f110",
          dict(cascade_factor=1.1, max_bricks=512, min_width=64,
               table_bits=4)),
+        # round-5b: brick x factor interaction after the 1024^3
+        # transit-row finding (coarser may pay at f125 too)
+        ("b4+minw64+q4+f125",
+         dict(cascade_factor=1.25, max_bricks=64, min_width=64,
+              table_bits=4)),
+        ("b16+minw64+q4+f125",
+         dict(cascade_factor=1.25, max_bricks=4096, min_width=64,
+              table_bits=4)),
     ]
     if args.only:
         sweep = [
