@@ -1051,16 +1051,45 @@ def render_diff(
 
 def _fwd(density_data, albedo_data, seed, scene_spec, camera_spec,
          settings, resolution, spp, two_level=False, camera=None):
+    if two_level:
+        # Run the primal replay HERE and save its per-lane radiance as
+        # a residual: pass A of the backward recomputes exactly this
+        # quantity (same replay, record=False), so carrying the (N, 3)
+        # buffer (3 MB at 512^2) deletes one of the three path
+        # traversals outright — the gradient becomes primal + pass B.
+        # Bit-identical by construction: c_lane IS the primal's
+        # radiance.
+        scene = scene_spec.build(density_data, albedo_data)
+        cam_obj = camera if camera is not None else camera_spec.build()
+        tw, th = resolution
+        tables = _build_brick_tab(density_data)
+        n_lanes, image_id, o0, d0, rng = _lane_setup(
+            cam_obj, resolution, spp, seed
+        )
+        out = _replay(
+            scene, settings, o0, d0, rng,
+            jnp.zeros((n_lanes,), jnp.float32),
+            jnp.zeros((n_lanes, 3), jnp.float32),
+            False, jnp.zeros((0,), jnp.float32),
+            jnp.zeros((0, albedo_data.shape[-1]), jnp.float32), tables,
+        )
+        img = (
+            jnp.zeros((tw * th, 3), jnp.float32)
+            .at[image_id]
+            .add(out.radiance)
+        ).reshape(th, tw, 3)
+        return img, (density_data, albedo_data, seed, camera,
+                     out.radiance)
     img = render_diff(
         density_data, albedo_data, seed, scene_spec, camera_spec,
         settings, resolution, spp, two_level, camera,
     )
-    return img, (density_data, albedo_data, seed, camera)
+    return img, (density_data, albedo_data, seed, camera, None)
 
 
 def _bwd(scene_spec, camera_spec, settings, resolution, spp, two_level,
          residuals, g_img):
-    density_data, albedo_data, seed, camera = residuals
+    density_data, albedo_data, seed, camera, c_saved = residuals
     scene = scene_spec.build(density_data, albedo_data)
     cam_obj = camera if camera is not None else camera_spec.build()
     tables = _build_brick_tab(density_data) if two_level else None
@@ -1074,18 +1103,24 @@ def _bwd(scene_spec, camera_spec, settings, resolution, spp, two_level,
         jnp.float32,
     )
 
-    # Pass A: recompute per-lane contributions C.  record=False never
-    # touches the cotangent buffers, so thread dummies — carrying the
-    # real (V,) accumulator here would keep a second whole-grid buffer
-    # live (4.3 GB at 1024^3).
-    pass_a = _replay(
-        scene, settings, o0, d0, rng, jnp.zeros((n_lanes,), jnp.float32),
-        jnp.zeros((n_lanes, 3), jnp.float32), False,
-        jnp.zeros((0,), jnp.float32),
-        jnp.zeros((0, albedo_data.shape[-1]), jnp.float32),
-        tables,
-    )
-    c_lane = pass_a.radiance  # (N, 3)
+    if c_saved is not None:
+        # per-lane contributions saved by _fwd (the primal replay's own
+        # radiance) — pass A is unnecessary
+        c_lane = c_saved
+    else:
+        # Pass A: recompute per-lane contributions C.  record=False
+        # never touches the cotangent buffers, so thread dummies —
+        # carrying the real (V,) accumulator here would keep a second
+        # whole-grid buffer live (4.3 GB at 1024^3).
+        pass_a = _replay(
+            scene, settings, o0, d0, rng,
+            jnp.zeros((n_lanes,), jnp.float32),
+            jnp.zeros((n_lanes, 3), jnp.float32), False,
+            jnp.zeros((0,), jnp.float32),
+            jnp.zeros((0, albedo_data.shape[-1]), jnp.float32),
+            tables,
+        )
+        c_lane = pass_a.radiance  # (N, 3)
     g_pix = g_img.reshape(-1, 3)
     g_lane = jnp.take(g_pix, image_id, axis=0) * c_lane  # (N, 3) g_c * C_c
     s_lane = jnp.sum(g_lane, axis=-1)  # (N,)
