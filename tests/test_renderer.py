@@ -126,3 +126,25 @@ def test_run_pass_uneven_progress_respects_iteration_cap():
     r2.init_rendering()
     r2.run_pass(2)
     np.testing.assert_array_equal(np.asarray(r.accum), np.asarray(r2.accum))
+
+
+def test_render_device_matches_render():
+    """render_device + get_image must equal render() exactly: the
+    benchmark protocol (cli.run_test) fences on the device ray counter
+    and downloads the image outside the timed region — same pixels,
+    same ray count."""
+    scene = _scene()
+    camera = make_camera(16, 16)
+    cfg = dict(
+        kernel=Kernel.FAST_SK, iterations=3, resolution=(16, 16),
+        n_tiles=(2, 2), two_level=True,
+        settings=RenderSettings.from_flags(True),
+    )
+    r1 = create_renderer(scene, camera, Config(**cfg))
+    img1 = r1.render()
+    r2 = create_renderer(scene, camera, Config(**cfg))
+    r2.render_device()
+    nr2 = r2.n_rays  # the protocol's fence
+    img2 = r2.get_image()
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert nr2 == r1.n_rays
