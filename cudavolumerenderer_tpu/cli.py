@@ -103,11 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="fastSK: (8,8,128) brick-major flat-table layout for "
         "giant grids",
     )
+    def _cascade_factor(v: str) -> float:
+        f = float(v)
+        if f <= 1.0:
+            raise argparse.ArgumentTypeError(
+                f"--cascade-factor must be > 1 (got {f}): values <= 1 "
+                "would disable the cascade or divide by zero"
+            )
+        return f
+
     p.add_argument(
-        "--cascade-factor", type=float, default=2,
+        "--cascade-factor", type=_cascade_factor, default=2,
         help="fastSK: cascade pool shrink factor (may be fractional, "
-        "e.g. 1.5 — finer steps compact idle lanes out earlier near "
-        "full width at the cost of more compactions)",
+        "e.g. 1.25 — finer steps compact idle lanes out earlier near "
+        "full width at the cost of more compactions; must be > 1)",
     )
     p.add_argument(
         "--table-bits", type=int, default=32, choices=[32, 8, 4],
@@ -149,7 +158,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--min-width", type=int, default=None,
-        help="fastSK: cascade bottom pool width",
+        help="fastSK: cascade bottom pool width (quantized to "
+        "multiples of 256 — values below 256 are equivalent to 256)",
     )
     p.add_argument(
         "--max-bricks", type=int, default=None,

@@ -153,7 +153,9 @@ class Config:
     #: cascade bottom pool width (smaller = deeper cascade); None =
     #: platform default — 128 on TPU (won the round-3 sweep on every
     #: scene class, PERF.md), 4096 on CPU (deep cascades run serial
-    #: narrow iterations at interpreter speed there)
+    #: narrow iterations at interpreter speed there).  Pool widths
+    #: quantize to multiples of 256 (sublane alignment), so values
+    #: below 256 are equivalent to 256 (fast._cascade_widths)
     min_width: Optional[int] = None
     #: finer tail-pool brick granularity (0 = same table as full width)
     tail_bricks: int = 0

@@ -924,6 +924,10 @@ def _replay_2l_fused(scene, settings, o0, d0, rng0, s_lane, g_lane,
 
     out_o, out_d, out_tput, out_rad = outs
     dd, da = carry[18], carry[19]
+    # NOTE: rng is the INITIAL state, not the post-replay stream — the
+    # final per-lane states live pool-permuted in the carry and no
+    # caller continues sampling from a replay's rng.  Do not chain a
+    # second estimator pass off this field.
     return _ReplayState(
         o=out_o, d=out_d, throughput=out_tput, radiance=out_rad,
         alive=jnp.zeros((n_total,), bool), rng=rng0,
@@ -1022,26 +1026,12 @@ def render_diff(
     """
     scene = scene_spec.build(density_data, albedo_data)
     cam_obj = camera if camera is not None else camera_spec.build()
-    tw, th = resolution
     if two_level:
-        tables = _build_brick_tab(density_data)
-        n_lanes, image_id, o0, d0, rng = _lane_setup(
-            cam_obj, resolution, spp, seed
+        img, _ = _primal_2l(
+            scene, cam_obj, settings, resolution, spp, seed,
+            density_data, albedo_data,
         )
-        zero_d = jnp.zeros((0,), jnp.float32)
-        zero_a = jnp.zeros((0, albedo_data.shape[-1]), jnp.float32)
-        out = _replay(
-            scene, settings, o0, d0, rng,
-            jnp.zeros((n_lanes,), jnp.float32),
-            jnp.zeros((n_lanes, 3), jnp.float32),
-            False, zero_d, zero_a, tables,
-        )
-        img = (
-            jnp.zeros((tw * th, 3), jnp.float32)
-            .at[image_id]
-            .add(out.radiance)
-        )
-        return img.reshape(th, tw, 3)
+        return img
     img, _ = naive.render_tile(
         scene, cam_obj, settings, resolution,
         jnp.zeros(2, jnp.float32), resolution, spp, seed, 0,
@@ -1049,37 +1039,49 @@ def render_diff(
     return img
 
 
+def _primal_2l(scene, cam_obj, settings, resolution, spp, seed,
+               density_data, albedo_data):
+    """Two-level primal: (image, per-lane radiance).  The SINGLE source
+    of the primal estimator for both render_diff and _fwd — _bwd's
+    pass-A elision is correct precisely because the saved radiance IS
+    this function's radiance, so there must be one copy of it."""
+    tw, th = resolution
+    tables = _build_brick_tab(density_data)
+    n_lanes, image_id, o0, d0, rng = _lane_setup(
+        cam_obj, resolution, spp, seed
+    )
+    out = _replay(
+        scene, settings, o0, d0, rng,
+        jnp.zeros((n_lanes,), jnp.float32),
+        jnp.zeros((n_lanes, 3), jnp.float32),
+        False, jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0, albedo_data.shape[-1]), jnp.float32), tables,
+    )
+    img = (
+        jnp.zeros((tw * th, 3), jnp.float32)
+        .at[image_id]
+        .add(out.radiance)
+    ).reshape(th, tw, 3)
+    return img, out.radiance
+
+
 def _fwd(density_data, albedo_data, seed, scene_spec, camera_spec,
          settings, resolution, spp, two_level=False, camera=None):
     if two_level:
-        # Run the primal replay HERE and save its per-lane radiance as
-        # a residual: pass A of the backward recomputes exactly this
+        # Run the primal replay and save its per-lane radiance as a
+        # residual: pass A of the backward recomputes exactly this
         # quantity (same replay, record=False), so carrying the (N, 3)
         # buffer (3 MB at 512^2) deletes one of the three path
         # traversals outright — the gradient becomes primal + pass B.
         # Bit-identical by construction: c_lane IS the primal's
-        # radiance.
+        # radiance (one copy of the estimator: _primal_2l).
         scene = scene_spec.build(density_data, albedo_data)
         cam_obj = camera if camera is not None else camera_spec.build()
-        tw, th = resolution
-        tables = _build_brick_tab(density_data)
-        n_lanes, image_id, o0, d0, rng = _lane_setup(
-            cam_obj, resolution, spp, seed
+        img, radiance = _primal_2l(
+            scene, cam_obj, settings, resolution, spp, seed,
+            density_data, albedo_data,
         )
-        out = _replay(
-            scene, settings, o0, d0, rng,
-            jnp.zeros((n_lanes,), jnp.float32),
-            jnp.zeros((n_lanes, 3), jnp.float32),
-            False, jnp.zeros((0,), jnp.float32),
-            jnp.zeros((0, albedo_data.shape[-1]), jnp.float32), tables,
-        )
-        img = (
-            jnp.zeros((tw * th, 3), jnp.float32)
-            .at[image_id]
-            .add(out.radiance)
-        ).reshape(th, tw, 3)
-        return img, (density_data, albedo_data, seed, camera,
-                     out.radiance)
+        return img, (density_data, albedo_data, seed, camera, radiance)
     img = render_diff(
         density_data, albedo_data, seed, scene_spec, camera_spec,
         settings, resolution, spp, two_level, camera,

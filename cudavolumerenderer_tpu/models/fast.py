@@ -371,7 +371,14 @@ def _cascade_widths(
     factor may be fractional (e.g. 1.5): finer shrink steps compact
     idle lanes out EARLIER near full width, where most rows live (the
     medical-class full-width stage is 83% of rows at busy 0.52 —
-    PERF.md round-3 anatomy), at the cost of more compactions."""
+    PERF.md round-3 anatomy), at the cost of more compactions.
+
+    Widths quantize to multiples of 256 (sublane-row alignment), so
+    min_width values below 256 are equivalent to 256 — the measured
+    'minw64/minw128' sweep wins over 512/4096 were really
+    cascade-bottom 256 vs shallower bottoms; 64-vs-128 deltas are
+    noise by construction.  Fractional factors also stall where
+    ceil(w/factor/256)*256 == w (e.g. factor 1.25 bottoms at 1024)."""
     import math  # noqa: PLC0415
 
     widths = [n_lanes]

@@ -36,7 +36,21 @@ def load_scene(config: Config) -> Tuple[Scene, Camera]:
         raise ValueError(f"unhandled scene type {stype}")
 
     w, h = config.resolution
-    return scene, override_resolution(camera, w, h)
+    camera = override_resolution(camera, w, h)
+    if not config.settings.mitsuba_comparable:
+        # non-MITSUBA_COMPARABLE handedness: the reference negates the
+        # camera's right basis vector (Camera.h:30-34).  Loaders build
+        # comparable-convention cameras; flip the right COLUMN of the
+        # pose here so the convention applies to posed cameras too
+        # (the round-4 position-only rebuild used to lose orientation;
+        # the round-5 pose-preserving override used to lose this flip).
+        import jax.numpy as jnp
+        import numpy as np
+
+        inv_view = np.asarray(camera.inv_view).copy()
+        inv_view[:, 0] = -inv_view[:, 0]
+        camera = camera._replace(inv_view=jnp.asarray(inv_view))
+    return scene, camera
 
 
 def override_resolution(camera: Camera, w: int, h: int) -> Camera:

@@ -39,17 +39,6 @@ def smooth_step(edge0: float, edge1: float, x: np.ndarray) -> np.ndarray:
     return t * t * (3.0 - 2.0 * t)
 
 
-def read_mhd_header(path: str) -> dict:
-    header = {}
-    with open(path, "r", errors="replace") as f:
-        for line in f:
-            if "=" not in line:
-                continue
-            key, value = line.split("=", 1)
-            header[key.strip()] = value.strip()
-    return header
-
-
 def read_mhd(path: str) -> np.ndarray:
     """Read a .mhd/.mha volume into a float32 (Z, Y, X) array.
 

@@ -401,3 +401,30 @@ class TestFrame:
         local = math3.to_local(x, y, zn, v)
         back = math3.to_world(x, y, zn, local)
         np.testing.assert_allclose(np.asarray(back), np.asarray(v), atol=1e-6)
+
+
+def test_loader_applies_non_comparable_handedness(tmp_path):
+    """load_scene under mitsuba_comparable=False must negate the
+    camera's right basis (reference Camera.h:30-34) — the round-5
+    pose-preserving override initially dropped this flip."""
+    import numpy as np
+
+    from cudavolumerenderer_tpu.config import Config
+    from cudavolumerenderer_tpu.ops.camera import make_camera
+    from cudavolumerenderer_tpu.scene import procedural
+    from cudavolumerenderer_tpu.scene.loader import load_scene
+    from cudavolumerenderer_tpu.scene.types import RenderSettings
+
+    path = str(tmp_path / "blob.raw")
+    procedural.write_raw_uchar(path, procedural.blob_volume())
+
+    for comparable in (True, False):
+        cfg = Config(
+            scene_file=path, resolution=(64, 64),
+            settings=RenderSettings.from_flags(comparable),
+        )
+        _, cam = load_scene(cfg)
+        expect = make_camera(64, 64, mitsuba_comparable=comparable)
+        np.testing.assert_array_equal(
+            np.asarray(cam.inv_view), np.asarray(expect.inv_view)
+        )
